@@ -1,0 +1,235 @@
+"""The batched Putting Dune RL environment.
+
+TPU-first rewrite of the reference PuttingDuneEnvironment + StepLimitWrapper
+(/root/reference/putting_dune/putting_dune_environment.py:36-195,
+run_helpers.py:27-153). The dm_env object becomes a pair of jitted pure
+functions over an EnvState with a leading batch dimension:
+
+    state, ts = env.reset(key)
+    state, ts = env.step(state, action, key)
+
+Auto-reset: environments whose previous step was terminal/truncated are
+reset inside step() (both branches are computed batched and selected, which
+is cheap because reset is O(N) elementwise work with no KMC loop). dm_env
+semantics are preserved per-env:
+
+  * FIRST: reward 0, discount gamma**elapsed (the reference's reset returns
+    a discounted FIRST step, putting_dune_environment.py:99-111);
+  * terminal: discount 0 (dm_env.termination);
+  * truncation at step_limit (default 600): discount gamma**elapsed.
+
+The single-env dm_env.Environment adapter lives in dm_env_wrapper.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+from flax import struct
+import jax
+import jax.numpy as jnp
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu import structures
+from putting_dune_tpu.env import action_adapters
+from putting_dune_tpu.env import features as features_lib
+from putting_dune_tpu.env import goals as goals_lib
+
+FIRST = 0
+MID = 1
+LAST = 2
+
+
+class TimeStep(struct.PyTreeNode):
+  """Batched dm_env-style timestep.
+
+  step_type: (B,) int32 in {FIRST, MID, LAST}; reward/discount: (B,)
+  float32; observation: features pytree with leading batch dim.
+  """
+
+  step_type: jnp.ndarray
+  reward: jnp.ndarray
+  discount: jnp.ndarray
+  observation: Any
+
+  def first(self) -> jnp.ndarray:
+    return self.step_type == FIRST
+
+  def last(self) -> jnp.ndarray:
+    return self.step_type == LAST
+
+
+class EnvState(struct.PyTreeNode):
+  """Full batched environment state."""
+
+  sim: structures.SimulatorState
+  goal: goals_lib.GoalState
+  adapter_state: Any
+  step_count: jnp.ndarray  # (B,) int32, steps taken this episode.
+  needs_reset: jnp.ndarray  # (B,) bool, previous step ended the episode.
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+  """Static environment configuration (hashable)."""
+
+  sim: simulator_lib.SimulatorConfig = simulator_lib.SimulatorConfig()
+  step_limit: Optional[int] = 600  # run_helpers.py:33-46.
+
+
+@dataclasses.dataclass(frozen=True)
+class PuttingDuneEnv:
+  """Batched environment: static components + jitted reset/step.
+
+  Attributes:
+    lattice: static lattice (positions + neighbor table).
+    rate_fn: batched KMC rate function.
+    adapter: action adapter (agent action -> beam control).
+    features: feature constructor (observation -> agent features).
+    config: env/simulator config.
+    batch_size: number of parallel environments.
+  """
+
+  lattice: lattice_lib.Lattice
+  rate_fn: rates_lib.RateFunction = rates_lib.prior_rates
+  adapter: Any = action_adapters.RelativeToSiliconActionAdapter()
+  features: Any = features_lib.SingleSiliconPristineGrapheneFeatures()
+  config: EnvConfig = EnvConfig()
+  batch_size: int = 1
+
+  # -- internals ------------------------------------------------------------
+
+  def _fresh_state_and_obs(self, key: jax.Array):
+    """Builds a freshly-reset state + initial observation for all envs."""
+    k_sim, k_goal, k_adapter = jax.random.split(key, 3)
+    sim_state, obs = simulator_lib.reset(
+        k_sim,
+        self.lattice,
+        config=self.config.sim,
+        batch_size=self.batch_size,
+        return_window=self.features.requires_window,
+        return_image=self.features.requires_image,
+    )
+    goal = goals_lib.sample_goal(
+        k_goal, self.lattice, sim_state.material, sim_state.fov
+    )
+    adapter_state = self.adapter.init_state(k_adapter, self.batch_size)
+    state = EnvState(
+        sim=sim_state,
+        goal=goal,
+        adapter_state=adapter_state,
+        step_count=jnp.zeros((self.batch_size,), jnp.int32),
+        needs_reset=jnp.zeros((self.batch_size,), bool),
+    )
+    return state, obs
+
+  def _first_timestep(self, obs, goal) -> TimeStep:
+    discount = jnp.power(
+        constants.GAMMA_PER_SECOND, obs.elapsed_seconds
+    ).astype(jnp.float32)
+    return TimeStep(
+        step_type=jnp.full((self.batch_size,), FIRST, jnp.int32),
+        reward=jnp.zeros((self.batch_size,), jnp.float32),
+        discount=discount,
+        observation=self.features(obs, goal),
+    )
+
+  # -- public API -----------------------------------------------------------
+
+  @functools.partial(jax.jit, static_argnames=('self',))
+  def reset(self, key: jax.Array) -> tuple[EnvState, TimeStep]:
+    state, obs = self._fresh_state_and_obs(key)
+    return state, self._first_timestep(obs, state.goal)
+
+  @functools.partial(jax.jit, static_argnames=('self',))
+  def step(
+      self, state: EnvState, action: jnp.ndarray, key: jax.Array
+  ) -> tuple[EnvState, TimeStep]:
+    """Advances every environment one step (auto-resetting finished ones)."""
+    k_reset, k_step = jax.random.split(key)
+
+    # ---- stepped branch (computed for all envs) ---------------------------
+    ctx = action_adapters.AdapterContext(
+        si_position_microscope=state.sim.fov.material_to_microscope(
+            lattice_lib.site_position(
+                self.lattice,
+                state.sim.material.si_index,
+                state.sim.material.offset,
+                state.sim.material.theta,
+            )
+        ),
+        fov=state.sim.fov,
+    )
+    adapter_state, control = self.adapter.to_controls(
+        state.adapter_state, ctx, action
+    )
+    sim_state, obs, _ = simulator_lib.step(
+        state.sim,
+        k_step,
+        control,
+        self.lattice,
+        self.rate_fn,
+        config=self.config.sim,
+        return_window=self.features.requires_window,
+        return_image=self.features.requires_image,
+    )
+    si_material = obs.fov.microscope_to_material(obs.si_position_microscope)
+    new_goal, goal_ret = goals_lib.reward_and_terminal(
+        state.goal, si_material, obs.elapsed_seconds
+    )
+    step_count = state.step_count + 1
+    terminal = goal_ret.is_terminal
+    truncated = goal_ret.is_truncated
+    if self.config.step_limit is not None:
+      truncated = jnp.logical_or(
+          truncated,
+          jnp.logical_and(step_count >= self.config.step_limit, ~terminal),
+      )
+    discount = jnp.power(
+        constants.GAMMA_PER_SECOND, obs.elapsed_seconds
+    ).astype(jnp.float32)
+    discount = jnp.where(terminal, 0.0, discount)
+    step_type = jnp.where(
+        jnp.logical_or(terminal, truncated), LAST, MID
+    ).astype(jnp.int32)
+    stepped_state = EnvState(
+        sim=sim_state,
+        goal=new_goal,
+        adapter_state=adapter_state,
+        step_count=step_count,
+        needs_reset=jnp.logical_or(terminal, truncated),
+    )
+    stepped_ts = TimeStep(
+        step_type=step_type,
+        reward=goal_ret.reward,
+        discount=discount,
+        observation=self.features(obs, new_goal),
+    )
+
+    # ---- reset branch (fresh episodes for envs flagged needs_reset) -------
+    reset_state, reset_obs = self._fresh_state_and_obs(k_reset)
+    reset_ts = self._first_timestep(reset_obs, reset_state.goal)
+
+    # ---- select per env ---------------------------------------------------
+    def pick(reset_leaf, stepped_leaf):
+      mask = state.needs_reset.reshape(
+          (self.batch_size,) + (1,) * (stepped_leaf.ndim - 1)
+      )
+      return jnp.where(mask, reset_leaf, stepped_leaf)
+
+    new_state = jax.tree_util.tree_map(pick, reset_state, stepped_state)
+    ts = jax.tree_util.tree_map(pick, reset_ts, stepped_ts)
+    return new_state, ts
+
+  # -- specs ----------------------------------------------------------------
+
+  def action_spec(self) -> action_adapters.ActionSpec:
+    return self.adapter.spec()
+
+  def observation_spec(self):
+    return self.features.spec()

@@ -1,0 +1,168 @@
+"""STEM image rendering as MXU matmuls.
+
+TPU-first rewrite of the reference clean-image generator
+(/root/reference/putting_dune/imaging.py:117-173) and the full noisy pipeline
+(imaging.py:239-265).
+
+The reference splats atoms into a 2D histogram and then runs a large
+scipy.ndimage Gaussian blur. Because convolving a delta with a Gaussian IS
+the Gaussian, and the 2D Gaussian is separable, the blurred histogram equals
+
+    image[y, x] = sum_k w_k * K(y - bin_y(k)) * K(x - bin_x(k))
+
+which factorizes into ONE matmul per image:
+
+    image = (Gy * w)^T @ Gx,   Gy, Gx: (num_atoms, image_size)
+
+This runs on the MXU at ~17 MFLOP per 128x128 frame instead of a
+bandwidth-bound multi-pass blur. Kernel truncation (radius 4*sigma + 0.5,
+matching scipy.ndimage defaults) and the final max-normalization (which
+absorbs all kernel normalization constants) preserve reference semantics.
+
+Divergences (documented):
+  * The per-episode "blur_amount" post-blur (imaging.py:254, sigma <= 1 px,
+    reflect boundary) is folded into the splat sigma as
+    sqrt(sigma_clean^2 + blur^2); the boundary-mode difference affects a
+    <=4-pixel border at most.
+  * CLAHE is our own fixed-grid implementation (clahe.py); skimage is not a
+    dependency of this framework.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from putting_dune_tpu import structures
+from putting_dune_tpu.imaging import clahe as clahe_lib
+from putting_dune_tpu.imaging import noise as noise_lib
+
+
+def _splat_axis_kernels(
+    bin_centers: jnp.ndarray,  # (B, K) integer bin index per atom, as float
+    sigma: jnp.ndarray,  # (B,) pixels
+    image_size: int,
+) -> jnp.ndarray:
+  """Truncated 1D Gaussian kernels per atom: (B, K, image_size)."""
+  coords = jax.lax.broadcasted_iota(
+      jnp.float32, (1, 1, image_size), dimension=2
+  )
+  d = coords - bin_centers[..., None]
+  s = sigma[:, None, None]
+  radius = jnp.floor(4.0 * s + 0.5)
+  kern = jnp.exp(-0.5 * jnp.square(d / s))
+  return jnp.where(jnp.abs(d) <= radius, kern, 0.0)
+
+
+def render_clean_image(
+    window: structures.AtomWindow,
+    fov: structures.FieldOfView,
+    intensity_exponent: jnp.ndarray,  # (B,)
+    *,
+    image_size: int = 512,
+    blur_amount: jnp.ndarray | None = None,  # (B,) extra sigma, pixels
+) -> jnp.ndarray:
+  """Renders max-normalized clean STEM frames, (B, S, S) float32.
+
+  Row 0 is the TOP of the image (the reference flips the histogram upside
+  down, imaging.py:152); column = x, row = image_size-1 - y_bin.
+  """
+  s = image_size
+  positions = window.positions  # (B, K, 2) in [0, 1]
+  mask = window.mask
+
+  # Histogram binning parity: bin = floor(p * S), right edge in last bin.
+  bx = jnp.clip(jnp.floor(positions[..., 0] * s), 0, s - 1)
+  by = jnp.clip(jnp.floor(positions[..., 1] * s), 0, s - 1)
+
+  # sigma = S / (2.15 * fov_extent) per axis (imaging.py:154-161), optionally
+  # folding the post-hoc blur in quadrature.
+  sigma_x = s / (2.15 * fov.width)
+  sigma_y = s / (2.15 * fov.height)
+  if blur_amount is not None:
+    sigma_x = jnp.sqrt(jnp.square(sigma_x) + jnp.square(blur_amount))
+    sigma_y = jnp.sqrt(jnp.square(sigma_y) + jnp.square(blur_amount))
+
+  weights = jnp.where(
+      mask,
+      jnp.power(
+          window.atomic_numbers.astype(jnp.float32),
+          intensity_exponent[..., None],
+      ),
+      0.0,
+  )
+
+  gx = _splat_axis_kernels(bx, sigma_x, s)  # (B, K, S)
+  gy = _splat_axis_kernels(by, sigma_y, s)
+  gy = gy * weights[..., None]
+
+  # image[y, x] = sum_k gy[k, y] * gx[k, x] — one MXU matmul per frame.
+  image = jnp.einsum(
+      'bky,bkx->byx', gy, gx, preferred_element_type=jnp.float32
+  )
+  image = jnp.flip(image, axis=-2)  # y up -> row 0 at top.
+
+  peak = jnp.max(image, axis=(-2, -1), keepdims=True)
+  return image / jnp.maximum(peak, 1e-20)
+
+
+@functools.partial(jax.jit, static_argnames=('image_size', 'apply_clahe'))
+def render_stem_image(
+    key: jax.Array,
+    window: structures.AtomWindow,
+    fov: structures.FieldOfView,
+    params: structures.ImagingParams,
+    *,
+    image_size: int = 512,
+    apply_clahe: bool = True,
+) -> jnp.ndarray:
+  """Full noisy STEM frame pipeline (reference imaging.py:239-265).
+
+  Order: clean splat (+blur folded in) -> Poisson shot noise -> row jitter ->
+  salt & pepper -> gamma contrast -> uniform -> exponential -> Gaussian ->
+  CLAHE.
+  """
+  image = render_clean_image(
+      window,
+      fov,
+      params.intensity_exponent,
+      image_size=image_size,
+      blur_amount=params.blur_amount,
+  )
+  k_poisson, k_jitter, k_sp, k_uniform, k_exp, k_gauss = jax.random.split(
+      key, 6
+  )
+  image = noise_lib.apply_poisson_noise(
+      k_poisson, image, params.poisson_rate_multiplier
+  )
+  image = noise_lib.apply_jitter(k_jitter, image, params.jitter_rate)
+  image = noise_lib.apply_salt_and_pepper(
+      k_sp, image, params.salt_and_pepper_amount
+  )
+  image = noise_lib.apply_contrast(image, params.contrast_gamma)
+  image = noise_lib.apply_uniform_noise(
+      k_uniform, image, params.uniform_noise_scale
+  )
+  image = noise_lib.apply_exponential_noise(
+      k_exp, image, params.exponential_lambda
+  )
+  image = noise_lib.apply_gaussian_noise(
+      k_gauss, image, params.gaussian_variance
+  )
+  if apply_clahe:
+    image = clahe_lib.equalize_adapthist(image, clip_limit=0.01)
+  return image
+
+
+def resize_bilinear(image: jnp.ndarray, size: int) -> jnp.ndarray:
+  """Bilinear resize of (B, H, W) frames to (B, size, size).
+
+  Replaces the cv2.resize in the reference image feature constructor
+  (feature_constructors.py:254-258).
+  """
+  batch = image.shape[0]
+  return jax.image.resize(
+      image, (batch, size, size), method='linear', antialias=False
+  )

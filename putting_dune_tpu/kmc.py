@@ -1,0 +1,159 @@
+"""Batched kinetic-Monte-Carlo engine for dopant transitions.
+
+TPU-first rewrite of the reference KMC inner loop
+(/root/reference/putting_dune/graphene.py:646-694). The reference runs a
+Python while-loop per control, materializing three successor AtomicGrids and
+re-fitting an sklearn kNN on every iteration. Here the whole batch of
+environments advances inside ONE ``jax.lax.while_loop``:
+
+  * state is just the silicon site index (transitions relabel a site);
+  * neighbor lookup is a static-table gather (O(1));
+  * waiting times are sampled as Exp(1)/total_rate, clipped at 3600 s;
+  * the successor neighbor is a categorical draw over the 3 rates;
+  * environments that exhaust their dwell time are masked out, and the loop
+    exits when every lane is done.
+
+Because the loop body is batched, a learned neural rate function evaluates as
+one (B, features) matmul per KMC event round — MXU-friendly — instead of B
+separate tiny inferences.
+
+Statistical semantics preserved exactly (same waiting-time law, same
+transition acceptance rule elapsed + dt <= dwell, same clip): distributions
+match the reference, not bitstreams.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+
+
+class KMCResult(NamedTuple):
+  """Outcome of applying one beam control to a batch of materials.
+
+  Attributes:
+    si_index: (B,) int32 final silicon site per environment.
+    num_transitions: (B,) int32 events that fired during the dwell.
+    event_times: (E, B) float32 times of the first E events (inf = no event);
+      only populated when record_events > 0, else a (0, B) array.
+    event_sites: (E, B) int32 site after each recorded event (-1 = none).
+  """
+
+  si_index: jnp.ndarray
+  num_transitions: jnp.ndarray
+  event_times: jnp.ndarray
+  event_sites: jnp.ndarray
+
+
+def apply_control(
+    key: jax.Array,
+    lattice: lattice_lib.Lattice,
+    offset: jnp.ndarray,
+    theta: jnp.ndarray,
+    si_index: jnp.ndarray,
+    beam_position: jnp.ndarray,
+    dwell_seconds: jnp.ndarray,
+    rate_fn: rates_lib.RateFunction,
+    *,
+    record_events: int = 0,
+    max_events: int | None = None,
+) -> KMCResult:
+  """Simulates one beam exposure on a batch of B environments.
+
+  Args:
+    key: PRNG key (consumed).
+    lattice: static lattice (positions + neighbor table).
+    offset: (B, 2) per-env lattice offset (material frame, angstroms).
+    theta: (B,) per-env lattice rotation.
+    si_index: (B,) int32 current silicon site.
+    beam_position: (B, 2) beam position in the MATERIAL frame (angstroms).
+    dwell_seconds: (B,) exposure duration.
+    rate_fn: batched rate function (si_pos, neighbor_pos, beam_pos)->(B, 3).
+    record_events: if > 0, record up to this many events per env (functional
+      replacement for the reference observer hook observe_transition,
+      simulator observers in microscope_utils.py:503-535).
+    max_events: optional hard cap on loop iterations (safety bound; the
+      physical rates make unbounded loops astronomically unlikely).
+
+  Returns:
+    KMCResult with final silicon sites and event bookkeeping.
+  """
+  batch = si_index.shape[0]
+  num_record = max(int(record_events), 0)
+
+  event_times0 = jnp.full((num_record, batch), jnp.inf, dtype=jnp.float32)
+  event_sites0 = jnp.full((num_record, batch), -1, dtype=jnp.int32)
+
+  def cond(carry):
+    _, _, _, active, count, _, _ = carry
+    alive = jnp.any(active)
+    if max_events is not None:
+      alive = jnp.logical_and(alive, jnp.min(count) < max_events)
+    return alive
+
+  def body(carry):
+    key, si, elapsed, active, count, ev_t, ev_s = carry
+    key, k_wait, k_choice = jax.random.split(key, 3)
+
+    si_pos = lattice_lib.site_position(lattice, si, offset, theta)  # (B, 2)
+    nbr_idx = lattice.neighbors[si]  # (B, 3)
+    nbr_pos = lattice_lib.site_position(lattice, nbr_idx, offset, theta)
+
+    rates = rate_fn(si_pos, nbr_pos, beam_position)  # (B, 3)
+    total_rate = jnp.sum(rates, axis=-1)
+
+    # Waiting time ~ Exp(total_rate), clipped (reference graphene.py:666-668).
+    dt = jax.random.exponential(k_wait, (batch,)) / total_rate
+    dt = jnp.minimum(dt, constants.MAX_WAITING_TIME_SECONDS)
+    new_elapsed = elapsed + dt
+
+    # A transition fires if it lands within the dwell window
+    # (reference graphene.py:677: elapsed_time <= control.dwell_time).
+    fired = jnp.logical_and(active, new_elapsed <= dwell_seconds)
+
+    # Categorical over the 3 successor rates (graphene.py:679-688).
+    choice = jax.random.categorical(k_choice, jnp.log(rates), axis=-1)
+    new_si_candidate = jnp.take_along_axis(
+        nbr_idx, choice[:, None], axis=-1
+    )[:, 0]
+    new_si = jnp.where(fired, new_si_candidate, si)
+    new_count = count + fired.astype(jnp.int32)
+
+    if num_record > 0:
+      slot = jnp.clip(count, 0, num_record - 1)  # (B,)
+      onehot = (
+          jax.lax.broadcasted_iota(jnp.int32, (num_record, batch), 0)
+          == slot[None, :]
+      )
+      write = jnp.logical_and(onehot, fired[None, :])
+      ev_t = jnp.where(write, new_elapsed[None, :], ev_t)
+      ev_s = jnp.where(write, new_si[None, :], ev_s)
+
+    # Keep looping only while strictly inside the dwell window
+    # (reference graphene.py:658: while elapsed < dwell).
+    new_active = jnp.logical_and(active, new_elapsed < dwell_seconds)
+    elapsed = jnp.where(active, new_elapsed, elapsed)
+    return key, new_si, elapsed, new_active, new_count, ev_t, ev_s
+
+  init = (
+      key,
+      si_index,
+      jnp.zeros((batch,), dtype=jnp.float32),
+      dwell_seconds > 0.0,
+      jnp.zeros((batch,), dtype=jnp.int32),
+      event_times0,
+      event_sites0,
+  )
+  _, si_final, _, _, count, ev_t, ev_s = jax.lax.while_loop(cond, body, init)
+  return KMCResult(
+      si_index=si_final,
+      num_transitions=count,
+      event_times=ev_t,
+      event_sites=ev_s,
+  )
