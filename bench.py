@@ -1,0 +1,122 @@
+"""Headline benchmark: batched environment steps/sec on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baseline (BASELINE.md): the reference publishes no numbers; the north star
+is >= 1,000,000 batched env steps/sec (1024 envs) and >= 50,000 rendered
+128x128 STEM frames/sec on one v5e chip. vs_baseline is value / 1e6.
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu.env import action_adapters
+from putting_dune_tpu.env import env as env_lib
+from putting_dune_tpu.env import features as features_lib
+from putting_dune_tpu.imaging import params as imaging_params
+from putting_dune_tpu.imaging import render as render_lib
+
+BATCH = 1024
+STEPS_PER_CALL = 64
+ENV_STEP_BASELINE = 1_000_000.0
+FRAMES_BASELINE = 50_000.0
+
+
+def bench_env_steps() -> float:
+  lattice = lattice_lib.make_lattice(50)
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice,
+      rate_fn=rates_lib.prior_rates,
+      adapter=action_adapters.RelativeToSiliconActionAdapter(),
+      features=features_lib.SingleSiliconPristineGrapheneFeatures(),
+      config=env_lib.EnvConfig(),
+      batch_size=BATCH,
+  )
+
+  @jax.jit
+  def rollout(state, ts, key):
+    def body(carry, _):
+      state, ts, key = carry
+      key, k_act, k_step = jax.random.split(key, 3)
+      action = jax.random.uniform(
+          k_act, (BATCH, 2), minval=-1.0, maxval=1.0
+      )
+      state, ts = env.step(state, action, k_step)
+      return (state, ts, key), ()
+
+    (state, ts, key), _ = jax.lax.scan(
+        body, (state, ts, key), None, length=STEPS_PER_CALL
+    )
+    return state, ts, key
+
+  key = jax.random.PRNGKey(0)
+  state, ts = env.reset(key)
+  state, ts, key = rollout(state, ts, key)  # compile + warmup
+  jax.block_until_ready(state)
+
+  n_calls = 8
+  t0 = time.perf_counter()
+  for _ in range(n_calls):
+    state, ts, key = rollout(state, ts, key)
+  jax.block_until_ready(state)
+  dt = time.perf_counter() - t0
+  return BATCH * STEPS_PER_CALL * n_calls / dt
+
+
+def bench_frames(image_size: int = 128) -> float:
+  lattice = lattice_lib.make_lattice(50)
+  batch = 256
+  config = simulator_lib.SimulatorConfig(image_size=image_size)
+
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(1), lattice, config=config, batch_size=batch,
+      return_window=True,
+  )
+
+  @jax.jit
+  def render(key, window, fov, params):
+    return render_lib.render_stem_image(
+        key, window, fov, params, image_size=image_size
+    )
+
+  params = state.imaging
+  img = render(jax.random.PRNGKey(2), obs.window, state.fov, params)
+  jax.block_until_ready(img)
+
+  n_calls = 8
+  t0 = time.perf_counter()
+  key = jax.random.PRNGKey(3)
+  for i in range(n_calls):
+    key, k = jax.random.split(key)
+    img = render(k, obs.window, state.fov, params)
+  jax.block_until_ready(img)
+  dt = time.perf_counter() - t0
+  return batch * n_calls / dt
+
+
+def main():
+  env_sps = bench_env_steps()
+  frames_ps = bench_frames()
+  result = {
+      'metric': 'env_steps_per_sec_1024envs',
+      'value': round(env_sps, 1),
+      'unit': 'steps/s',
+      'vs_baseline': round(env_sps / ENV_STEP_BASELINE, 4),
+      'stem_frames_128_per_sec': round(frames_ps, 1),
+      'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
+      'device': str(jax.devices()[0]),
+  }
+  print(json.dumps(result))
+
+
+if __name__ == '__main__':
+  main()

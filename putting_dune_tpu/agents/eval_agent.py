@@ -1,0 +1,136 @@
+"""Frozen-policy evaluation agent (native JAX).
+
+Replaces the reference TfEvalAgent (/root/reference/putting_dune/agents/
+tf_eval_agent.py:23-32), which wraps a TF SavedModel. Here a policy is a
+flax module + msgpack'd params saved by EvalAgent.save(); step() runs the
+jitted policy on the observation. Works for vector observations and for
+{image, goal_delta} dict observations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping
+
+import flax.linen as nn
+import flax.serialization
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putting_dune_tpu.agents import agent_lib
+
+
+class MLPPolicy(nn.Module):
+  """Vector-observation policy head."""
+
+  hidden: tuple[int, ...] = (256, 256)
+  action_dim: int = 2
+
+  @nn.compact
+  def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
+    x = obs
+    for width in self.hidden:
+      x = nn.swish(nn.Dense(width)(x))
+    return nn.tanh(nn.Dense(self.action_dim)(x))
+
+
+class ConvPolicy(nn.Module):
+  """{image, goal_delta_angstroms} dict-observation policy head."""
+
+  hidden: tuple[int, ...] = (256,)
+  action_dim: int = 2
+  features: tuple[int, ...] = (16, 32, 64)
+
+  @nn.compact
+  def __call__(self, obs: Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+    x = obs['image']
+    for f in self.features:
+      x = nn.Conv(f, (3, 3), strides=(2, 2))(x)
+      x = nn.swish(x)
+    x = x.reshape((x.shape[0], -1))
+    x = jnp.concatenate([x, obs['goal_delta_angstroms']], axis=-1)
+    for width in self.hidden:
+      x = nn.swish(nn.Dense(width)(x))
+    return nn.tanh(nn.Dense(self.action_dim)(x))
+
+
+class EvalAgent(agent_lib.Agent):
+  """Applies a frozen policy to observations."""
+
+  def __init__(self, module: nn.Module, params: Any):
+    self._module = module
+    self._params = params
+    self._apply = jax.jit(
+        lambda params, obs: module.apply({'params': params}, obs)
+    )
+
+  def step(self, time_step) -> np.ndarray:
+    obs = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x))[None], time_step.observation
+    )
+    return np.asarray(self._apply(self._params, obs))[0]
+
+  def set_mode(self, mode: agent_lib.AgentMode) -> None:
+    pass
+
+  def policy(self):
+    """Returns a batched pure policy fn (key, obs) -> action for rollouts."""
+    apply = self._apply
+    params = self._params
+
+    def policy_fn(key, obs):
+      del key
+      return apply(params, obs)
+
+    return policy_fn
+
+  # -- persistence ------------------------------------------------------------
+
+  def save(self, save_dir: str) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    if isinstance(self._module, MLPPolicy):
+      kind = 'mlp'
+      arch = {
+          'hidden': list(self._module.hidden),
+          'action_dim': self._module.action_dim,
+      }
+    elif isinstance(self._module, ConvPolicy):
+      kind = 'conv'
+      arch = {
+          'hidden': list(self._module.hidden),
+          'action_dim': self._module.action_dim,
+          'features': list(self._module.features),
+      }
+    else:
+      raise ValueError(f'Unsupported module {type(self._module)}')
+    with open(os.path.join(save_dir, 'policy.json'), 'w') as f:
+      json.dump({'kind': kind, 'arch': arch}, f)
+    with open(os.path.join(save_dir, 'policy.ckpt'), 'wb') as f:
+      f.write(flax.serialization.to_bytes(self._params))
+
+  @classmethod
+  def load(cls, load_dir: str) -> 'EvalAgent':
+    with open(os.path.join(load_dir, 'policy.json')) as f:
+      meta = json.load(f)
+    arch = meta['arch']
+    if meta['kind'] == 'mlp':
+      module = MLPPolicy(
+          hidden=tuple(arch['hidden']), action_dim=arch['action_dim']
+      )
+      dummy = jnp.zeros((1, 10))
+    else:
+      module = ConvPolicy(
+          hidden=tuple(arch['hidden']),
+          action_dim=arch['action_dim'],
+          features=tuple(arch['features']),
+      )
+      dummy = {
+          'image': jnp.zeros((1, 128, 128, 1)),
+          'goal_delta_angstroms': jnp.zeros((1, 2)),
+      }
+    template = module.init(jax.random.PRNGKey(0), dummy)['params']
+    with open(os.path.join(load_dir, 'policy.ckpt'), 'rb') as f:
+      params = flax.serialization.from_bytes(template, f.read())
+    return cls(module, params)

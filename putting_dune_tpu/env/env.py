@@ -49,13 +49,16 @@ class TimeStep(struct.PyTreeNode):
   """Batched dm_env-style timestep.
 
   step_type: (B,) int32 in {FIRST, MID, LAST}; reward/discount: (B,)
-  float32; observation: features pytree with leading batch dim.
+  float32; observation: features pytree with leading batch dim;
+  elapsed_seconds: (B,) simulated seconds consumed by this step (a native
+  extension over dm_env — the reference recovers this from the discount).
   """
 
   step_type: jnp.ndarray
   reward: jnp.ndarray
   discount: jnp.ndarray
   observation: Any
+  elapsed_seconds: jnp.ndarray
 
   def first(self) -> jnp.ndarray:
     return self.step_type == FIRST
@@ -137,6 +140,7 @@ class PuttingDuneEnv:
         reward=jnp.zeros((self.batch_size,), jnp.float32),
         discount=discount,
         observation=self.features(obs, goal),
+        elapsed_seconds=obs.elapsed_seconds,
     )
 
   # -- public API -----------------------------------------------------------
@@ -209,6 +213,7 @@ class PuttingDuneEnv:
         reward=goal_ret.reward,
         discount=discount,
         observation=self.features(obs, new_goal),
+        elapsed_seconds=obs.elapsed_seconds,
     )
 
     # ---- reset branch (fresh episodes for envs flagged needs_reset) -------

@@ -13,6 +13,7 @@ from typing import Dict, Union
 import jax.numpy as jnp
 import numpy as np
 
+from putting_dune_tpu import geometry
 from putting_dune_tpu import structures
 from putting_dune_tpu.env import goals as goals_lib
 from putting_dune_tpu.imaging import render as render_lib
@@ -91,8 +92,10 @@ class SingleSiliconMaterialFrameFeatures:
       goal: goals_lib.GoalState,
   ) -> jnp.ndarray:
     si_material = obs.fov.microscope_to_material(obs.si_position_microscope)
-    nbr_material = obs.fov.microscope_to_material(
-        obs.neighbor_positions_microscope
+    nbr_material = geometry.microscope_to_material(
+        obs.neighbor_positions_microscope,
+        obs.fov.lower_left[..., None, :],
+        obs.fov.upper_right[..., None, :],
     )
     deltas = nbr_material - si_material[..., None, :]
     goal_delta = goal.position_material - si_material

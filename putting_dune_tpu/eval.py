@@ -1,0 +1,142 @@
+"""Standalone evaluation CLI.
+
+Parity: /root/reference/putting_dune/eval.py:31-91. Usage:
+
+  python -m putting_dune_tpu.eval \
+      --experiment_name=relative_random_simple --eval_suite=tiny_eval
+
+Adds a --batched flag (default on): run the whole suite as one on-device
+batch (orders of magnitude faster); --nobatched reproduces the reference's
+per-seed host loop with exact wall-clock timeout semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Args:
+  experiment_name: str
+  eval_suite: str = 'tiny_eval'
+  batched: bool = True
+  video_save_dir: Optional[str] = None
+  output_json: Optional[str] = None
+  step_limit: int = 600
+  seed: int = 0
+
+
+def main(args: Args) -> 'object':
+  import jax
+
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  experiment = registry.create_eval_experiment(args.experiment_name)
+  seeds = eval_lib.EVAL_SUITES[args.eval_suite]
+
+  rng = np.random.default_rng(args.seed)
+  adapters_and_goal = experiment.get_adapters_and_goal()
+  agent = experiment.get_agent(rng, adapters_and_goal)
+
+  if args.batched:
+    env = run_helpers.create_batched_env(
+        experiment.get_adapters_and_goal,
+        experiment.get_simulator_config,
+        batch_size=len(seeds),
+        step_limit=args.step_limit,
+    )
+    policy = _policy_for_agent(agent, env)
+    results = eval_lib.evaluate_batched(env, policy, seeds)
+  else:
+    env = run_helpers.create_putting_dune_env(
+        args.seed,
+        experiment.get_adapters_and_goal,
+        experiment.get_simulator_config,
+        simulator_step_limit=args.step_limit,
+    )
+    results = eval_lib.evaluate(agent, env, seeds)
+
+  aggregate = eval_lib.aggregate_results(results)
+  logging.info('Aggregate results:')
+  for field in dataclasses.fields(aggregate):
+    logging.info('  %s: %s', field.name, getattr(aggregate, field.name))
+
+  if args.output_json:
+    payload = {
+        'experiment': args.experiment_name,
+        'suite': args.eval_suite,
+        'aggregate': dataclasses.asdict(aggregate),
+        'results': [dataclasses.asdict(r) for r in results],
+    }
+    os.makedirs(os.path.dirname(args.output_json) or '.', exist_ok=True)
+    with open(args.output_json, 'w') as f:
+      json.dump(payload, f)
+  return aggregate
+
+
+def _policy_for_agent(agent, env):
+  """Extracts/builds a batched pure policy from a host agent."""
+  import functools
+  import jax.numpy as jnp
+  import jax
+
+  from putting_dune_tpu.agents import agent_lib
+  from putting_dune_tpu.agents import eval_agent as eval_agent_lib
+
+  if isinstance(agent, eval_agent_lib.EvalAgent):
+    return agent.policy()
+  if isinstance(agent, agent_lib.GreedyAgent):
+    return functools.partial(
+        _greedy_batched,
+        argmax=tuple(np.asarray(agent._argmax).tolist()),  # pylint: disable=protected-access
+        sigma=agent._position_noise_sigma,  # pylint: disable=protected-access
+    )
+  # Uniform random fallback matching the action spec.
+  spec = env.action_spec()
+
+  def random_policy(key, obs):
+    batch = jax.tree_util.tree_leaves(obs)[0].shape[0]
+    return jax.random.uniform(
+        key,
+        (batch,) + tuple(spec.shape),
+        minval=jnp.asarray(spec.minimum),
+        maxval=jnp.asarray(spec.maximum),
+    )
+
+  return random_policy
+
+
+def _greedy_batched(key, obs, argmax, sigma):
+  from putting_dune_tpu.agents import agent_lib
+
+  return agent_lib.greedy_policy(
+      key, obs, argmax=argmax, position_noise_sigma=sigma
+  )
+
+
+def _parse_args() -> Args:
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--experiment_name', required=True)
+  parser.add_argument('--eval_suite', default='tiny_eval')
+  parser.add_argument(
+      '--batched', action=argparse.BooleanOptionalAction, default=True
+  )
+  parser.add_argument('--video_save_dir', default=None)
+  parser.add_argument('--output_json', default=None)
+  parser.add_argument('--step_limit', type=int, default=600)
+  parser.add_argument('--seed', type=int, default=0)
+  return Args(**vars(parser.parse_args()))
+
+
+if __name__ == '__main__':
+  logging.basicConfig(level=logging.INFO)
+  main(_parse_args())

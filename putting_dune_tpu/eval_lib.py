@@ -144,6 +144,7 @@ def evaluate_batched(
         done=jnp.zeros((batch,), bool),
         reached=jnp.zeros((batch,), bool),
         steps=jnp.zeros((batch,), jnp.int32),
+        env_seconds=ts.elapsed_seconds,
         reward=jnp.zeros((batch,), jnp.float32),
         loop_i=jnp.asarray(0, jnp.int32),
     )
@@ -160,6 +161,9 @@ def evaluate_batched(
       live = jnp.logical_not(c['done'])
 
       steps = c['steps'] + live.astype(jnp.int32)
+      env_seconds = c['env_seconds'] + jnp.where(
+          live, ts.elapsed_seconds, 0.0
+      )
       reward = c['reward'] + jnp.where(live, ts.reward, 0.0)
       terminal = jnp.logical_and(live, ts.step_type == env_lib.LAST)
       reached = jnp.logical_or(
@@ -169,6 +173,8 @@ def evaluate_batched(
       done = jnp.logical_or(c['done'], terminal)
       # Auto-reset FIRST steps also end the previous episode for us.
       done = jnp.logical_or(done, jnp.logical_and(live, ts.first()))
+      # Episodes that exceed the simulated-time budget stop counting.
+      done = jnp.logical_or(done, env_seconds > timeout_seconds)
       return dict(
           state=state,
           ts=ts,
@@ -176,14 +182,20 @@ def evaluate_batched(
           done=done,
           reached=reached,
           steps=steps,
+          env_seconds=env_seconds,
           reward=reward,
           loop_i=c['loop_i'] + 1,
       )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final['reached'], final['steps'], final['reward']
+    return (
+        final['reached'],
+        final['steps'],
+        final['env_seconds'],
+        final['reward'],
+    )
 
-  reached, steps, reward = jax.device_get(rollout(seeds_arr))
+  reached, steps, env_seconds, reward = jax.device_get(rollout(seeds_arr))
   results = []
   for i, seed in enumerate(seeds):
     ok = bool(reached[i])
@@ -193,7 +205,9 @@ def evaluate_batched(
             reached_goal=ok,
             num_actions_taken=int(steps[i]),
             agent_seconds_to_goal=0.0 if ok else float('nan'),
-            environment_seconds_to_goal=float('nan'),
+            environment_seconds_to_goal=(
+                float(env_seconds[i]) if ok else float('nan')
+            ),
             total_reward=float(reward[i]),
         )
     )
@@ -233,14 +247,14 @@ def evaluate(
       time_step = env.step(action)
       env_elapsed += float(env.last_elapsed_seconds)
       num_actions += 1
-      total_reward += float(time_step.reward or 0.0)
+      if time_step.reward is not None:
+        total_reward += float(time_step.reward)
 
       if time_step.last():
         break
 
-    reached_goal = bool(
-        time_step.last() and float(time_step.discount or 1.0) == 0.0
-    )
+    discount = 1.0 if time_step.discount is None else float(time_step.discount)
+    reached_goal = bool(time_step.last() and discount == 0.0)
     results.append(
         EvalResult(
             seed=seed,

@@ -1,0 +1,372 @@
+"""Named-experiment registry.
+
+Parity: /root/reference/putting_dune/experiments/registry.py:262-496 — same
+experiment names, same adapter/dwell/goal compositions, same simulator rate
+configurations. Divergence (documented): the reference's `ppo_*` agents are
+TF SavedModels downloaded from GCS (registry.py:71-164); this framework is
+native JAX and zero-egress, so those names resolve through
+PolicyCheckpointAgent, which loads a locally saved policy checkpoint
+(putting_dune_tpu format) from `model_weights/<name>` and raises a clear
+error if the weights are not present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu.agents import agent_lib
+from putting_dune_tpu.env import action_adapters
+from putting_dune_tpu.env import features as features_lib
+from putting_dune_tpu.experiments import experiments
+
+BOND = constants.CARBON_BOND_DISTANCE_ANGSTROMS
+
+
+# -------------------- agents --------------------
+
+
+def _get_relative_random_agent(rng, adapters_and_goal):
+  spec = adapters_and_goal.action_adapter.spec()
+  return agent_lib.UniformRandomAgent(
+      rng, spec.minimum, spec.maximum, spec.shape
+  )
+
+
+def _get_greedy_agent(
+    rng,
+    adapters_and_goal,
+    argmax=np.asarray([1.42, 0.0]),
+    transition_function=None,
+    fixed_offset=np.zeros(2),
+):
+  spec = adapters_and_goal.action_adapter.spec()
+  low = spec.minimum if np.isscalar(spec.minimum) else spec.minimum[0]
+  high = spec.maximum if np.isscalar(spec.maximum) else spec.maximum[0]
+  return agent_lib.GreedyAgent(
+      rng=rng,
+      argmax=argmax,
+      transition_function=transition_function,
+      fixed_offset=fixed_offset,
+      low=low,
+      high=high,
+  )
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyCheckpointAgent:
+  """Loads a locally saved eval policy (native replacement for TF agents)."""
+
+  model_name: str
+  weights_dir: Optional[str] = None
+
+  def __call__(self, rng, adapters_and_goal):
+    del rng, adapters_and_goal
+    base = self.weights_dir or os.path.join(
+        os.path.dirname(__file__), 'model_weights'
+    )
+    path = os.path.join(base, self.model_name)
+    if not os.path.isdir(path):
+      raise FileNotFoundError(
+          f'No local policy checkpoint at {path}. The reference downloads '
+          'TF SavedModels from GCS; this framework is zero-egress and '
+          'native JAX — train a policy and save it there, or use a '
+          'greedy/random experiment.'
+      )
+    from putting_dune_tpu.agents import eval_agent
+
+    return eval_agent.EvalAgent.load(path)
+
+
+# -------------------- adapters & goals --------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class _SingleSiliconGoalReaching:
+  """Microscope-frame relative adapter + 10-dim features (ref :172-188)."""
+
+  min_dwell_seconds: float = 1.5
+  max_dwell_seconds: float = 1.5
+  max_distance_angstroms: float = BOND
+
+  def __call__(self) -> experiments.AdaptersAndGoal:
+    return experiments.AdaptersAndGoal(
+        action_adapter=action_adapters.RelativeToSiliconActionAdapter(
+            min_dwell_seconds=self.min_dwell_seconds,
+            max_dwell_seconds=self.max_dwell_seconds,
+            max_distance_angstroms=self.max_distance_angstroms,
+        ),
+        feature_constructor=(
+            features_lib.SingleSiliconPristineGrapheneFeatures()
+        ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _SingleSiliconGoalReachingMaterialFrame:
+  """Material-frame adapter + material-frame features (ref :191-208)."""
+
+  min_dwell_seconds: float = 1.5
+  max_dwell_seconds: float = 1.5
+  max_distance_angstroms: float = BOND * 2.0
+
+  def __call__(self) -> experiments.AdaptersAndGoal:
+    return experiments.AdaptersAndGoal(
+        action_adapter=(
+            action_adapters.RelativeToSiliconMaterialFrameActionAdapter(
+                min_dwell_seconds=self.min_dwell_seconds,
+                max_dwell_seconds=self.max_dwell_seconds,
+                max_distance_angstroms=self.max_distance_angstroms,
+            )
+        ),
+        feature_constructor=(
+            features_lib.SingleSiliconMaterialFrameFeatures()
+        ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _SingleSiliconGoalReachingFromPixels:
+  """Relative adapter + image features (reference :211-226)."""
+
+  min_dwell_seconds: float = 1.5
+  max_dwell_seconds: float = 1.5
+  max_distance_angstroms: float = BOND
+
+  def __call__(self) -> experiments.AdaptersAndGoal:
+    return experiments.AdaptersAndGoal(
+        action_adapter=action_adapters.RelativeToSiliconActionAdapter(
+            min_dwell_seconds=self.min_dwell_seconds,
+            max_dwell_seconds=self.max_dwell_seconds,
+            max_distance_angstroms=self.max_distance_angstroms,
+        ),
+        feature_constructor=features_lib.ImageFeatures(),
+    )
+
+
+def _get_direct_goal_reaching_from_pixels() -> experiments.AdaptersAndGoal:
+  return experiments.AdaptersAndGoal(
+      action_adapter=action_adapters.DirectActionAdapter(),
+      feature_constructor=features_lib.ImageFeatures(),
+  )
+
+
+# -------------------- simulator specs --------------------
+
+
+def _get_simple_rates_config() -> experiments.SimulatorSpec:
+  return experiments.SimulatorSpec(
+      rate_fn=rates_lib.simple_canonical_rates, image_duration_seconds=2.0
+  )
+
+
+def _get_human_prior_rates_config() -> experiments.SimulatorSpec:
+  return experiments.SimulatorSpec(
+      rate_fn=rates_lib.prior_rates, image_duration_seconds=2.0
+  )
+
+
+_GREEDY_MATERIAL_FRAME_5S = functools.partial(
+    _SingleSiliconGoalReachingMaterialFrame,
+    min_dwell_seconds=5.0,
+    max_dwell_seconds=5.0,
+    max_distance_angstroms=2 * BOND,
+)
+
+
+# -------------------- registries --------------------
+
+_MICROSCOPE_EXPERIMENTS = {
+    'relative_random': experiments.MicroscopeExperiment(
+        get_agent=_get_relative_random_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+    ),
+    'relative_random_long': experiments.MicroscopeExperiment(
+        get_agent=_get_relative_random_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+        ),
+    ),
+    'relative_random_extra_long': experiments.MicroscopeExperiment(
+        get_agent=_get_relative_random_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=3 * BOND,
+        ),
+    ),
+    'greedy_on_neighbor': experiments.MicroscopeExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.42, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
+    'greedy_short_of_neighbor': experiments.MicroscopeExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([0.58, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
+    'greedy_on_neighbor_offset_horizontally': experiments.MicroscopeExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.42, 0.42])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
+    'greedy_from_learned_rates_v3': experiments.MicroscopeExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.8686869, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
+    'greedy_from_learned_rates_v5': experiments.MicroscopeExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([2.1717172, -0.15151516])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
+    'ppo_simple_images_tf': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('ppo_simple_images_tf'),
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(),
+    ),
+    'ppo_learned_tf_2s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230127_from_state_2s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0, max_dwell_seconds=10.0
+        ),
+    ),
+    'ppo_learned_tf_3s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230127_from_state_3s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0, max_dwell_seconds=10.0
+        ),
+    ),
+    'ppo_learned_tf_4s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230127_from_state_4s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0, max_dwell_seconds=10.0
+        ),
+    ),
+    'ppo_v3_2s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230422_ppo_v3_2s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=3 * BOND,
+        ),
+    ),
+    'ppo_v3_3s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230422_ppo_v3_3s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=3 * BOND,
+        ),
+    ),
+    'ppo_v3_4s': experiments.MicroscopeExperiment(
+        get_agent=PolicyCheckpointAgent('230422_ppo_v3_4s'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=3 * BOND,
+        ),
+    ),
+}
+
+_TRAIN_EXPERIMENTS = {
+    'relative_simple_rates': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+    'relative_prior_rates': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
+    'relative_simple_rates_from_images': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+    'relative_simple_rates_from_images_variable_time': (
+        experiments.TrainExperiment(
+            get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+                min_dwell_seconds=1.0, max_dwell_seconds=10.0
+            ),
+            get_simulator_config=_get_simple_rates_config,
+        )
+    ),
+    'direct_simple_rates_from_images': experiments.TrainExperiment(
+        get_adapters_and_goal=_get_direct_goal_reaching_from_pixels,
+        get_simulator_config=_get_simple_rates_config,
+    ),
+}
+
+_EVAL_EXPERIMENTS = {
+    'relative_random_simple': experiments.EvalExperiment(
+        get_agent=_get_relative_random_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+    'relative_random_prior_rates': experiments.EvalExperiment(
+        get_agent=_get_relative_random_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
+    'ppo_simple_images_tf': experiments.EvalExperiment(
+        get_agent=PolicyCheckpointAgent('ppo_simple_images_tf'),
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+    # Native addition: the reference 'greedy_on_neighbor' combination as an
+    # eval experiment (its canonical working controller).
+    'greedy_simple_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.42, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+}
+
+
+def register_eval_experiment(name, eval_experiment) -> None:
+  """Adds an eval experiment if not present (reference :471-478)."""
+  if name not in _EVAL_EXPERIMENTS:
+    _EVAL_EXPERIMENTS[name] = eval_experiment
+
+
+def create_microscope_experiment(name: str):
+  if name not in _MICROSCOPE_EXPERIMENTS:
+    raise ValueError(f'Unknown microscope experiment {name}.')
+  return _MICROSCOPE_EXPERIMENTS[name]
+
+
+def create_train_experiment(name: str):
+  if name not in _TRAIN_EXPERIMENTS:
+    raise ValueError(f'Unknown train experiment {name}.')
+  return _TRAIN_EXPERIMENTS[name]
+
+
+def create_eval_experiment(name: str):
+  if name not in _EVAL_EXPERIMENTS:
+    raise ValueError(f'Unknown eval experiment {name}.')
+  return _EVAL_EXPERIMENTS[name]
+
+
+def microscope_experiment_names():
+  return tuple(_MICROSCOPE_EXPERIMENTS)
+
+
+def train_experiment_names():
+  return tuple(_TRAIN_EXPERIMENTS)
+
+
+def eval_experiment_names():
+  return tuple(_EVAL_EXPERIMENTS)

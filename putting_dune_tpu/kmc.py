@@ -126,10 +126,11 @@ def apply_control(
     new_count = count + fired.astype(jnp.int32)
 
     if num_record > 0:
-      slot = jnp.clip(count, 0, num_record - 1)  # (B,)
+      # Event k (0-based count before this transition) lands in slot k;
+      # events beyond capacity are dropped (no slot matches).
       onehot = (
           jax.lax.broadcasted_iota(jnp.int32, (num_record, batch), 0)
-          == slot[None, :]
+          == count[None, :]
       )
       write = jnp.logical_and(onehot, fired[None, :])
       ev_t = jnp.where(write, new_elapsed[None, :], ev_t)

@@ -84,19 +84,66 @@ def prior_rates(
   at the beam position relative to the silicon, scaled so the peak equals
   max_rate = ln(2)/3. The density ratio pdf(x)/pdf(mean) reduces to
   exp(-0.5 * d^T cov^{-1} d), so no normalization constants are needed.
+
+  Reference-parity note (bug-for-bug): the reference rotates the prior MEAN
+  by -angle_i (graphene.py:223), which places the peak beam position at the
+  REFLECTION (angle -a_i) of neighbor i rather than at the neighbor itself
+  whenever the neighbor is off the x-axis. We preserve that exact behavior
+  here (verified against a scipy oracle in tests); see prior_rates_aligned
+  for the physically-intended variant whose peak sits 0.85 bonds toward
+  each neighbor.
   """
+  return _prior_rates_impl(
+      si_pos, neighbor_pos, beam_pos, mean=mean, cov=cov, max_rate=max_rate,
+      aligned=False,
+  )
+
+
+def prior_rates_aligned(
+    si_pos: jnp.ndarray,
+    neighbor_pos: jnp.ndarray,
+    beam_pos: jnp.ndarray,
+    *,
+    mean: np.ndarray | None = None,
+    cov: np.ndarray | None = None,
+    max_rate: float | None = None,
+) -> jnp.ndarray:
+  """Gaussian prior rates peaking 0.85 bonds TOWARD each neighbor.
+
+  Equivalent to prior_rates but rotating the beam into the neighbor's
+  canonical frame (rotate(beam, -a_i) vs mean) instead of rotating the mean,
+  which fixes the reference's reflection quirk (graphene.py:223). Use this
+  when you want the documented physical prior rather than bit-parity.
+  """
+  return _prior_rates_impl(
+      si_pos, neighbor_pos, beam_pos, mean=mean, cov=cov, max_rate=max_rate,
+      aligned=True,
+  )
+
+
+def _prior_rates_impl(
+    si_pos, neighbor_pos, beam_pos, *, mean, cov, max_rate, aligned: bool
+) -> jnp.ndarray:
   mean = constants.SIGR_PRIOR_RATE_MEAN if mean is None else np.asarray(mean)
   cov = constants.SIGR_PRIOR_RATE_COV if cov is None else np.asarray(cov)
   max_rate = constants.SIGR_PRIOR_MAX_RATE if max_rate is None else max_rate
 
   rel_neighbors = neighbor_pos - si_pos[..., None, :]  # (B, 3, 2)
   angles = geometry.get_angles(rel_neighbors)  # (B, 3)
-  rotated_mean = geometry.rotate_coordinates(
-      jnp.asarray(mean, dtype=jnp.float32), -angles
-  )  # rotate (2,) by (B, 3) angles -> (B, 3, 2)
-
   rel_beam = (beam_pos - si_pos) / constants.CARBON_BOND_DISTANCE_ANGSTROMS
-  diff = rel_beam[..., None, :] - rotated_mean  # (B, 3, 2)
+
+  mean_arr = jnp.asarray(mean, dtype=jnp.float32)
+  if aligned:
+    # Rotate the beam into each neighbor's canonical frame; peak when the
+    # beam sits `mean` bond-lengths toward the neighbor.
+    beam_in_frame = geometry.rotate_coordinates(
+        rel_beam[..., None, :], -angles
+    )
+    diff = beam_in_frame - mean_arr
+  else:
+    # Reference behavior: rotate the mean by -angle (graphene.py:223).
+    rotated_mean = geometry.rotate_coordinates(mean_arr, -angles)
+    diff = rel_beam[..., None, :] - rotated_mean
   exponent = _gaussian2_exponent(diff, jnp.asarray(cov, dtype=jnp.float32))
   return max_rate * jnp.exp(exponent)
 

@@ -82,6 +82,7 @@ def atom_window(
   )  # (B, N)
 
   n = lattice.num_atoms
+  capacity = min(capacity, n)
   # Score in-bounds atoms by descending -index so top_k returns them in
   # ascending lattice-index order; out-of-bounds atoms sort last.
   order = jax.lax.broadcasted_iota(jnp.int32, in_bounds.shape, 1)

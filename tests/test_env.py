@@ -1,0 +1,193 @@
+"""Batched environment tests: dm_env contract semantics + end-to-end control.
+
+Mirrors reference putting_dune_environment_test.py (reset-on-create,
+termination, discounting, determinism) plus end-to-end greedy goal-reaching.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu.agents import agent_lib
+from putting_dune_tpu.env import action_adapters
+from putting_dune_tpu.env import env as env_lib
+from putting_dune_tpu.env import features as features_lib
+from putting_dune_tpu.env import goals as goals_lib
+
+LATTICE = lattice_lib.make_lattice(num_cols=20)
+SIM_CONFIG = simulator_lib.SimulatorConfig(grid_columns=20)
+
+
+def zero_rates(si_pos, neighbor_pos, beam_pos):
+  del neighbor_pos, beam_pos
+  return jnp.full(si_pos.shape[:-1] + (3,), 1e-12)
+
+
+def make_env(batch_size=4, rate_fn=rates_lib.prior_rates, step_limit=600,
+             material_frame=False, dwell=1.5):
+  return env_lib.PuttingDuneEnv(
+      lattice=LATTICE,
+      rate_fn=rate_fn,
+      adapter=(
+          action_adapters.RelativeToSiliconMaterialFrameActionAdapter(
+              min_dwell_seconds=dwell, max_dwell_seconds=dwell,
+              max_distance_angstroms=2 * 1.42,
+          )
+          if material_frame
+          else action_adapters.RelativeToSiliconActionAdapter()
+      ),
+      features=(
+          features_lib.SingleSiliconMaterialFrameFeatures()
+          if material_frame
+          else features_lib.SingleSiliconPristineGrapheneFeatures()
+      ),
+      config=env_lib.EnvConfig(sim=SIM_CONFIG, step_limit=step_limit),
+      batch_size=batch_size,
+  )
+
+
+def test_reset_returns_first_with_time_discount():
+  env = make_env()
+  state, ts = env.reset(jax.random.PRNGKey(0))
+  assert np.asarray(ts.step_type).tolist() == [env_lib.FIRST] * 4
+  np.testing.assert_allclose(np.asarray(ts.reward), 0.0)
+  # Initial observation costs one image (2 s): discount = gamma^2.
+  np.testing.assert_allclose(
+      np.asarray(ts.discount), constants.GAMMA_PER_SECOND**2.0, rtol=1e-5
+  )
+  assert ts.observation.shape == (4, 10)
+  assert not np.asarray(state.needs_reset).any()
+
+
+def test_features_layout():
+  env = make_env()
+  _, ts = env.reset(jax.random.PRNGKey(1))
+  obs = np.asarray(ts.observation)
+  # Microscope-frame features: si at FOV center, unit neighbor deltas.
+  np.testing.assert_allclose(obs[:, 0:2], 0.5, atol=1e-5)
+  deltas = obs[:, 2:8].reshape(-1, 3, 2)
+  np.testing.assert_allclose(
+      np.linalg.norm(deltas, axis=-1), 1.0, atol=1e-5
+  )
+  # Goal delta within the sampling ring.
+  goal_dist = np.linalg.norm(obs[:, 8:10], axis=-1)
+  assert (goal_dist > 0.1).all() and (goal_dist < 50.0).all()
+
+
+def test_step_mid_semantics_and_discount():
+  env = make_env(rate_fn=zero_rates)
+  state, _ = env.reset(jax.random.PRNGKey(2))
+  action = jnp.zeros((4, 2))
+  state, ts = env.step(state, action, jax.random.PRNGKey(3))
+  assert np.asarray(ts.step_type).tolist() == [env_lib.MID] * 4
+  # dwell 1.5 + image 2.0 => discount gamma^3.5.
+  np.testing.assert_allclose(
+      np.asarray(ts.discount), constants.GAMMA_PER_SECOND**3.5, rtol=1e-5
+  )
+  np.testing.assert_allclose(np.asarray(ts.reward), 0.0)
+
+
+def test_step_limit_truncates_with_nonzero_discount():
+  env = make_env(rate_fn=zero_rates, step_limit=3)
+  state, ts = env.reset(jax.random.PRNGKey(4))
+  action = jnp.zeros((4, 2))
+  key = jax.random.PRNGKey(5)
+  for i in range(3):
+    key, k = jax.random.split(key)
+    state, ts = env.step(state, action, k)
+  assert np.asarray(ts.step_type).tolist() == [env_lib.LAST] * 4
+  assert (np.asarray(ts.discount) > 0.0).all()  # truncation, not terminal
+  assert np.asarray(state.needs_reset).all()
+  # Next step auto-resets to FIRST.
+  key, k = jax.random.split(key)
+  state, ts = env.step(state, action, k)
+  assert np.asarray(ts.step_type).tolist() == [env_lib.FIRST] * 4
+  assert np.asarray(state.step_count).tolist() == [0] * 4
+
+
+def test_terminal_on_goal_reached():
+  env = make_env(rate_fn=zero_rates)
+  state, _ = env.reset(jax.random.PRNGKey(6))
+  # Move the goal onto the silicon: next step must be terminal with
+  # discount 0 and reward gamma^elapsed.
+  si_material = state.sim.fov.microscope_to_material(jnp.full((4, 2), 0.5))
+  state = state.replace(
+      goal=state.goal.replace(position_material=si_material)
+  )
+  state, ts = env.step(state, jnp.zeros((4, 2)), jax.random.PRNGKey(7))
+  assert np.asarray(ts.step_type).tolist() == [env_lib.LAST] * 4
+  np.testing.assert_allclose(np.asarray(ts.discount), 0.0)
+  np.testing.assert_allclose(
+      np.asarray(ts.reward), constants.GAMMA_PER_SECOND**3.5, rtol=1e-5
+  )
+
+
+def test_determinism_under_fixed_keys():
+  env = make_env()
+  s1, t1 = env.reset(jax.random.PRNGKey(8))
+  s2, t2 = env.reset(jax.random.PRNGKey(8))
+  np.testing.assert_array_equal(
+      np.asarray(t1.observation), np.asarray(t2.observation)
+  )
+  s1, t1 = env.step(s1, jnp.zeros((4, 2)), jax.random.PRNGKey(9))
+  s2, t2 = env.step(s2, jnp.zeros((4, 2)), jax.random.PRNGKey(9))
+  np.testing.assert_array_equal(
+      np.asarray(t1.observation), np.asarray(t2.observation)
+  )
+
+
+def test_greedy_agent_reaches_goals():
+  """End-to-end: the reference 'greedy_on_neighbor' experiment combination
+  (greedy agent + simple canonical rates + material-frame adapters with 5 s
+  dwell, registry.py:287-298) reaches most goals.
+
+  Note: the HUMAN-PRIOR rate function is not used here because its peak
+  is reflected about the x-axis relative to the targeted neighbor (a
+  preserved reference quirk, see rates.prior_rates docstring), which breaks
+  a beam-on-neighbor greedy controller except at special angles.
+  """
+  batch = 16
+  env = make_env(
+      batch_size=batch, material_frame=True, step_limit=400,
+      rate_fn=rates_lib.simple_canonical_rates, dwell=5.0,
+  )
+  policy = functools.partial(agent_lib.greedy_policy, None)
+
+  @jax.jit
+  def run(key):
+    k_reset, k_loop = jax.random.split(key)
+    state, ts = env.reset(k_reset)
+
+    def body(carry):
+      state, ts, key, reached, done, i = carry
+      key, k = jax.random.split(key)
+      action = policy(ts.observation)
+      state, ts = env.step(state, action, k)
+      terminal = (ts.step_type == env_lib.LAST) & (ts.discount == 0.0)
+      reached = reached | (terminal & ~done)
+      done = done | (ts.step_type == env_lib.LAST)
+      return state, ts, key, reached, done, i + 1
+
+    def cond(carry):
+      _, _, _, _, done, i = carry
+      return jnp.logical_and(~jnp.all(done), i < 400)
+
+    init = (
+        state, ts, k_loop,
+        jnp.zeros((batch,), bool), jnp.zeros((batch,), bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, _, _, reached, done, steps = jax.lax.while_loop(cond, body, init)
+    return reached, done, steps
+
+  reached, done, steps = jax.device_get(run(jax.random.PRNGKey(10)))
+  # Prior-rate transitions with a greedy controller should reliably reach
+  # goals sampled <= ~21 A away (tens of hops at most).
+  assert reached.mean() >= 0.8, (reached.mean(), steps)

@@ -139,3 +139,26 @@ def test_gmm_serialization_roundtrip(tmp_path):
       str(tmp_path)
   )
   assert gmm == loaded
+
+
+def test_prior_rates_reflection_parity_and_aligned_fix():
+  """The reference prior peaks at the REFLECTED neighbor angle (quirk
+  preserved bug-for-bug); prior_rates_aligned peaks at the neighbor."""
+  a = np.deg2rad(120.0)
+  si = jnp.zeros((1, 2))
+  n0 = BOND * jnp.asarray([np.cos(a), np.sin(a)])
+  neighbors = jnp.stack(
+      [n0, BOND * jnp.asarray([1.0, 0.0]), BOND * jnp.asarray([0.0, -1.0])]
+  )[None]
+  beam_toward = (0.85 * n0)[None]
+  beam_reflected = 0.85 * BOND * jnp.asarray([np.cos(-a), np.sin(-a)])[None]
+
+  ref_toward = np.asarray(rates_lib.prior_rates(si, neighbors, beam_toward))
+  ref_refl = np.asarray(rates_lib.prior_rates(si, neighbors, beam_reflected))
+  assert ref_refl[0, 0] > 100 * ref_toward[0, 0]
+  assert abs(ref_refl[0, 0] - constants.SIGR_PRIOR_MAX_RATE) < 1e-6
+
+  fix_toward = np.asarray(
+      rates_lib.prior_rates_aligned(si, neighbors, beam_toward)
+  )
+  assert abs(fix_toward[0, 0] - constants.SIGR_PRIOR_MAX_RATE) < 1e-6
