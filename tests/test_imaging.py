@@ -1,0 +1,182 @@
+"""Imaging tests: MXU-splat parity vs a scipy histogram+blur oracle,
+noise-op distribution checks, CLAHE properties.
+
+Mirrors reference imaging_test.py (determinism, shapes) plus oracle parity
+for the clean renderer (reference imaging.py:117-173).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu import structures
+from putting_dune_tpu.imaging import clahe as clahe_lib
+from putting_dune_tpu.imaging import noise as noise_lib
+from putting_dune_tpu.imaging import params as params_lib
+from putting_dune_tpu.imaging import render as render_lib
+
+LATTICE = lattice_lib.make_lattice(num_cols=20)
+CONFIG = simulator_lib.SimulatorConfig(grid_columns=20)
+
+
+def _window_and_fov(batch=2, key=0):
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(key), LATTICE, config=CONFIG, batch_size=batch,
+      return_window=True,
+  )
+  return obs.window, state.fov, state
+
+
+def _oracle_clean_image(window, fov, b, intensity_exponent, size):
+  """Reference-math oracle: 2D histogram * Z^exp -> gaussian blur -> /max."""
+  mask = np.asarray(window.mask)[b]
+  pos = np.asarray(window.positions)[b][mask]
+  nums = np.asarray(window.atomic_numbers)[b][mask]
+  image = np.zeros((size, size))
+  for z in np.unique(nums):
+    sel = pos[nums == z]
+    hist, _, _ = np.histogram2d(
+        sel[:, 0], sel[:, 1], bins=size, range=((0, 1), (0, 1))
+    )
+    image += hist * float(z) ** intensity_exponent
+  image = np.flipud(image.T)
+  width = float(np.asarray(fov.width)[b])
+  height = float(np.asarray(fov.height)[b])
+  sigma = (size / (2.15 * width), size / (2.15 * height))
+  image = scipy.ndimage.gaussian_filter(image, sigma, mode='constant')
+  return image / image.max()
+
+
+def test_clean_image_matches_scipy_oracle():
+  window, fov, state = _window_and_fov()
+  exponent = np.asarray([1.7, 1.5], np.float32)
+  size = 128
+  got = np.asarray(
+      render_lib.render_clean_image(
+          window, fov, jnp.asarray(exponent), image_size=size
+      )
+  )
+  for b in range(2):
+    expected = _oracle_clean_image(window, fov, b, exponent[b], size)
+    # Tail truncation differs slightly (we cut at the same 4*sigma+0.5
+    # radius, but scipy blurs y then x); demand close agreement.
+    assert np.abs(got[b] - expected).max() < 5e-3, (
+        b, np.abs(got[b] - expected).max()
+    )
+
+
+def test_clean_image_brightest_at_silicon():
+  window, fov, state = _window_and_fov(batch=4, key=3)
+  img = np.asarray(
+      render_lib.render_clean_image(
+          window, fov, jnp.full((4,), 1.7), image_size=128
+      )
+  )
+  for b in range(4):
+    # Silicon is at the FOV center; Z=14 vs 6 makes it the global peak.
+    peak = np.unravel_index(np.argmax(img[b]), img[b].shape)
+    assert abs(peak[0] - 64) < 8 and abs(peak[1] - 64) < 8, peak
+
+
+def test_full_render_deterministic_and_in_range():
+  window, fov, state = _window_and_fov()
+  a = np.asarray(
+      render_lib.render_stem_image(
+          jax.random.PRNGKey(5), window, fov, state.imaging, image_size=128
+      )
+  )
+  b = np.asarray(
+      render_lib.render_stem_image(
+          jax.random.PRNGKey(5), window, fov, state.imaging, image_size=128
+      )
+  )
+  np.testing.assert_array_equal(a, b)
+  c = np.asarray(
+      render_lib.render_stem_image(
+          jax.random.PRNGKey(6), window, fov, state.imaging, image_size=128
+      )
+  )
+  assert not np.array_equal(a, c)
+  assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-6
+
+
+def test_poisson_noise_statistics():
+  key = jax.random.PRNGKey(7)
+  image = jnp.full((1, 64, 64), 0.5)
+  mult = jnp.asarray([40.0])
+  out = np.asarray(noise_lib.apply_poisson_noise(key, image, mult))
+  # Poisson(20) scaled by 1/max: relative std ~ 1/sqrt(20).
+  rel_std = out.std() / out.mean()
+  assert 0.5 / np.sqrt(20) < rel_std < 2.0 / np.sqrt(20)
+
+
+def test_jitter_rolls_rows_circularly():
+  key = jax.random.PRNGKey(8)
+  image = jnp.tile(jnp.arange(16, dtype=jnp.float32)[None, None, :],
+                   (1, 8, 1))
+  out = np.asarray(noise_lib.apply_jitter(key, image, jnp.asarray([3.0])))
+  # Every row is a circular permutation: sorted row == original row.
+  for r in range(8):
+    np.testing.assert_array_equal(np.sort(out[0, r]), np.arange(16))
+
+
+def test_salt_and_pepper_fraction():
+  key = jax.random.PRNGKey(9)
+  image = jnp.full((1, 256, 256), 0.5)
+  out = np.asarray(
+      noise_lib.apply_salt_and_pepper(key, image, jnp.asarray([0.1]))
+  )
+  flipped = (out != 0.5).mean()
+  assert abs(flipped - 0.1) < 0.01
+  assert ((out == 1.0).mean() - 0.05) < 0.01
+
+
+def test_contrast_gamma():
+  image = jnp.asarray([[[0.25]]])
+  out = np.asarray(noise_lib.apply_contrast(image, jnp.asarray([2.0])))
+  assert abs(out[0, 0, 0] - 0.0625) < 1e-6
+
+
+def test_clahe_improves_contrast_and_stays_in_range():
+  # Low-contrast image: values in [0.4, 0.6].
+  key = jax.random.PRNGKey(10)
+  img = 0.4 + 0.2 * jax.random.uniform(key, (1, 128, 128))
+  out = np.asarray(clahe_lib.equalize_adapthist(img))
+  assert out.min() >= 0.0 and out.max() <= 1.0
+  assert out.std() > np.asarray(img).std() * 1.5  # contrast stretched
+  # Monotone-ish: pixel ranks mostly preserved within a tile.
+  tile_in = np.asarray(img)[0, :16, :16].ravel()
+  tile_out = out[0, :16, :16].ravel()
+  corr = np.corrcoef(tile_in, tile_out)[0, 1]
+  assert corr > 0.9
+
+
+def test_resize_bilinear_shape():
+  img = jnp.ones((3, 512, 512))
+  out = render_lib.resize_bilinear(img, 128)
+  assert out.shape == (3, 128, 128)
+
+
+def test_imaging_params_ranges():
+  p = params_lib.sample_imaging_params(jax.random.PRNGKey(11), 64)
+  assert (np.asarray(p.intensity_exponent) >= 1.4).all()
+  assert (np.asarray(p.intensity_exponent) <= 2.0).all()
+  assert (np.asarray(p.poisson_rate_multiplier) >= 1.0).all()
+  assert (np.asarray(p.gaussian_variance) <= 5e-3).all()
+  noisy = params_lib.sample_imaging_params(
+      jax.random.PRNGKey(12), 64, noisy=True
+  )
+  assert np.asarray(noisy.gaussian_variance).max() > 5e-3
+
+
+def test_simulator_returns_image():
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(13), LATTICE,
+      config=simulator_lib.SimulatorConfig(grid_columns=20, image_size=128),
+      batch_size=2, return_image=True,
+  )
+  assert obs.image.shape == (2, 128, 128)
+  assert np.isfinite(np.asarray(obs.image)).all()
