@@ -1,0 +1,220 @@
+"""Image-alignment training: CE + weighted drift-MSE, mesh data parallel.
+
+Parity: reference image_alignment/train.py:106-199 (joint loss with
+final-step-only option) and :346-391 (sharded train state + batch
+sharding; the reference's multihost_utils global-array plumbing reduces to
+NamedSharding placement under GSPMD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from putting_dune_tpu.image_alignment import data as data_lib
+from putting_dune_tpu.image_alignment import model as model_lib
+from putting_dune_tpu.parallel import mesh as mesh_lib
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+  workdir: str
+  seed: int = 0
+  learning_rate: float = 1e-3
+  batch_size: int = 32
+  epochs: int = 1000
+  steps_per_epoch: int = 100
+  eval_steps: int = 20
+  image_size: int = 128
+  num_frames: int = 5
+  features: tuple = (32, 64, 128, 256)
+  drift_loss_weight: float = 1.0
+  final_step_only: bool = False
+  grid_columns: int = 50
+  noisy_images: bool = False
+
+
+class TrainState(train_state.TrainState):
+  pass
+
+
+def _losses(state_apply, params, batch, num_frames, final_step_only):
+  logits, pred_drift = state_apply({'params': params}, batch['images'])
+  b, h, w, _ = logits.shape
+  logits = logits.reshape(b, h, w, num_frames, 3)
+  mask = batch['mask'].reshape(b, h, w, num_frames, 3)
+  ce = jnp.mean(optax.softmax_cross_entropy(logits, mask))
+  accuracy = jnp.mean(
+      jnp.argmax(logits, -1) == jnp.argmax(mask, -1)
+  )
+
+  pred_drift = pred_drift.reshape(batch['drift'].shape)
+  drift_sq = jnp.square(batch['drift'] - pred_drift).sum(-1)  # (B, T)
+  drift_err = jnp.linalg.norm(batch['drift'] - pred_drift, axis=-1)
+  if final_step_only:
+    drift_loss = jnp.mean(drift_sq[..., -1])
+    drift_error = jnp.mean(drift_err[..., -1])
+  else:
+    drift_loss = jnp.mean(drift_sq)
+    drift_error = jnp.mean(drift_err)
+  return ce, accuracy, drift_loss, drift_error
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('num_frames', 'final_step_only'),
+    donate_argnums=(0,),
+)
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    drift_loss_weight: float,
+    num_frames: int,
+    final_step_only: bool,
+):
+  def loss_fn(params):
+    ce, accuracy, drift_loss, drift_error = _losses(
+        state.apply_fn, params, batch, num_frames, final_step_only
+    )
+    total = ce + drift_loss_weight * drift_loss
+    return total, {
+        'loss': total,
+        'ce': ce,
+        'accuracy': accuracy,
+        'drift_loss': drift_loss,
+        'drift_error': drift_error,
+    }
+
+  (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+      state.params
+  )
+  state = state.apply_gradients(grads=grads)
+  return state, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=('num_frames', 'final_step_only')
+)
+def eval_step(state, batch, num_frames, final_step_only):
+  ce, accuracy, drift_loss, drift_error = _losses(
+      state.apply_fn, state.params, batch, num_frames, final_step_only
+  )
+  return {
+      'ce': ce,
+      'accuracy': accuracy,
+      'drift_loss': drift_loss,
+      'drift_error': drift_error,
+  }
+
+
+def create_state(config: Config, mesh=None) -> TrainState:
+  module = model_lib.GlobalLocalUNet(
+      local_output_size=3 * config.num_frames,
+      global_output_size=2 * config.num_frames,
+      features=tuple(config.features),
+  )
+  params = module.init(
+      jax.random.PRNGKey(config.seed),
+      jnp.zeros(
+          (1, config.image_size, config.image_size, config.num_frames)
+      ),
+  )['params']
+  if mesh is not None:
+    params = jax.device_put(params, mesh_lib.replicated_sharding(mesh))
+  return TrainState.create(
+      apply_fn=module.apply,
+      params=params,
+      tx=optax.adamw(config.learning_rate),
+  )
+
+
+def train(config: Config, *, mesh=None, progress=None) -> TrainState:
+  import orbax.checkpoint as ocp
+
+  if mesh is None:
+    mesh = mesh_lib.make_mesh()
+  state = create_state(config, mesh)
+
+  manager = ocp.CheckpointManager(
+      os.path.abspath(os.path.join(config.workdir, 'checkpoints')),
+      options=ocp.CheckpointManagerOptions(
+          max_to_keep=3,
+          best_fn=lambda m: -m['drift_error'],
+          best_mode='max',
+      ),
+  )
+  start_epoch = 0
+  latest = manager.latest_step()
+  if latest is not None:
+    state = manager.restore(latest, args=ocp.args.StandardRestore(state))
+    start_epoch = latest + 1
+
+  train_iter = data_lib.dataset_iterator(
+      config.seed,
+      batch_size=config.batch_size,
+      image_size=config.image_size,
+      num_frames=config.num_frames,
+      grid_columns=config.grid_columns,
+      noisy=config.noisy_images,
+  )
+  eval_iter = data_lib.dataset_iterator(
+      config.seed + 1,
+      batch_size=config.batch_size,
+      image_size=config.image_size,
+      num_frames=config.num_frames,
+      grid_columns=config.grid_columns,
+      noisy=config.noisy_images,
+  )
+
+  for epoch in range(start_epoch, config.epochs):
+    for _ in range(config.steps_per_epoch):
+      batch = mesh_lib.shard_batch(next(train_iter), mesh)
+      state, metrics = train_step(
+          state,
+          batch,
+          config.drift_loss_weight,
+          config.num_frames,
+          config.final_step_only,
+      )
+    evals = []
+    for _ in range(config.eval_steps):
+      batch = mesh_lib.shard_batch(next(eval_iter), mesh)
+      evals.append(
+          eval_step(state, batch, config.num_frames, config.final_step_only)
+      )
+    summary = {
+        k: float(np.mean([jax.device_get(e[k]) for e in evals]))
+        for k in evals[0]
+    }
+    manager.save(epoch, args=ocp.args.StandardSave(state), metrics=summary)
+    if progress is not None:
+      progress(epoch, summary)
+  manager.wait_until_finished()
+  return state
+
+
+def load_params(workdir: str, config: Optional[Config] = None):
+  import orbax.checkpoint as ocp
+
+  if config is None:
+    config = Config(workdir=workdir)
+  manager = ocp.CheckpointManager(
+      os.path.abspath(os.path.join(workdir, 'checkpoints')),
+      options=ocp.CheckpointManagerOptions(
+          best_fn=lambda m: -m['drift_error'], best_mode='max'
+      ),
+  )
+  step = manager.best_step()
+  if step is None:
+    step = manager.latest_step()
+  state = create_state(config)
+  state = manager.restore(step, args=ocp.args.StandardRestore(state))
+  return state.params

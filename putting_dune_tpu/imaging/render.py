@@ -35,6 +35,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from putting_dune_tpu import geometry
 from putting_dune_tpu import structures
 from putting_dune_tpu.imaging import clahe as clahe_lib
 from putting_dune_tpu.imaging import noise as noise_lib
@@ -166,3 +167,66 @@ def resize_bilinear(image: jnp.ndarray, size: int) -> jnp.ndarray:
   return jax.image.resize(
       image, (batch, size, size), method='linear', antialias=False
   )
+
+
+def render_label_mask(
+    window: structures.AtomWindow,
+    fov: structures.FieldOfView,
+    *,
+    intensity_exponent: jnp.ndarray | float = 1.7,
+    image_size: int = 512,
+) -> jnp.ndarray:
+  """Semantic label image: pixel = atomic number of the covering atom.
+
+  Parity: reference imaging.py:75-114 (generate_grid_mask) — each atom
+  stamps a disk of radius (Z/6)^exponent * 0.1 angstroms; later (higher-Z
+  via max) atoms win. Returns (B, S, S) int32 with 0 = background.
+  """
+  s = image_size
+  b = window.positions.shape[0]
+  exponent = jnp.broadcast_to(jnp.asarray(intensity_exponent), (b,))
+
+  # Pixel centers in the material frame.
+  lin = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+  px = geometry_microscope_to_material_grid(lin, fov)  # (B, S, 2) per axis
+
+  pos_material = geometry.microscope_to_material(
+      window.positions,
+      fov.lower_left[:, None, :],
+      fov.upper_right[:, None, :],
+  )  # (B, K, 2)
+
+  z = window.atomic_numbers.astype(jnp.float32)
+  radius = jnp.power(z / 6.0, exponent[:, None]) * 0.1  # (B, K)
+  # Reference parity (imaging.py:110-111): the SQUARED pixel distance is
+  # compared against the UNSQUARED radius value, so the effective disk
+  # radius is sqrt(radius).
+  radius2 = jnp.where(window.mask, radius, -1.0)
+
+  xs = px[0]  # (B, S)
+  ys = px[1]  # (B, S)
+  dx2 = jnp.square(xs[:, None, :] - pos_material[..., 0][..., None])
+  dy2 = jnp.square(ys[:, None, :] - pos_material[..., 1][..., None])
+  # covered[b, k, y, x] without materializing: reduce over K via max of
+  # masked atomic numbers where inside the disk.
+  inside = (
+      dx2[:, :, None, :] + dy2[:, :, :, None]
+  ) < radius2[:, :, None, None]
+  labels = jnp.max(
+      jnp.where(inside, window.atomic_numbers[:, :, None, None], 0),
+      axis=1,
+  )
+  return jnp.flip(labels, axis=-2).astype(jnp.int32)
+
+
+def geometry_microscope_to_material_grid(lin, fov):
+  """Maps a [0,1] linspace to material x and y coordinate rows, (2, B, S)."""
+  xs = (
+      lin[None, :] * (fov.upper_right[:, :1] - fov.lower_left[:, :1])
+      + fov.lower_left[:, :1]
+  )
+  ys = (
+      lin[None, :] * (fov.upper_right[:, 1:] - fov.lower_left[:, 1:])
+      + fov.lower_left[:, 1:]
+  )
+  return jnp.stack([xs, ys])

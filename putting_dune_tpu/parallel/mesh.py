@@ -57,14 +57,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
   """Places a pytree with leading batch dims onto the mesh, batch-sharded.
 
-  Scalars/0-d leaves are replicated.
+  Scalars/0-d leaves — and leaves whose batch dim does not divide the mesh
+  axis — are replicated instead.
   """
   batch = batch_sharding(mesh, axis)
   replicated = replicated_sharding(mesh)
+  axis_size = mesh.shape[axis]
 
   def put(x):
     x = jax.numpy.asarray(x)
-    sharding = batch if x.ndim >= 1 else replicated
-    return jax.device_put(x, sharding)
+    shardable = x.ndim >= 1 and x.shape[0] % axis_size == 0
+    return jax.device_put(x, batch if shardable else replicated)
 
   return jax.tree_util.tree_map(put, tree)

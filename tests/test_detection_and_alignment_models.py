@@ -1,0 +1,179 @@
+"""Atom-detection + image-alignment model/train/inference tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import microscope_data as md
+from putting_dune_tpu.atom_detection import data as det_data
+from putting_dune_tpu.atom_detection import inference as det_inference
+from putting_dune_tpu.atom_detection import model as det_model
+from putting_dune_tpu.atom_detection import train as det_train
+from putting_dune_tpu.image_alignment import data as align_data
+from putting_dune_tpu.image_alignment import inference as align_inference
+from putting_dune_tpu.image_alignment import model as align_model
+from putting_dune_tpu.image_alignment import train as align_train
+
+LATTICE = lattice_lib.make_lattice(num_cols=20)
+SMALL = (8, 16)
+
+
+def test_unet_shapes():
+  module = det_model.UNet(features=SMALL, num_classes=3)
+  x = jnp.zeros((2, 32, 32, 1))
+  params = module.init(jax.random.PRNGKey(0), x)['params']
+  out = module.apply({'params': params}, x)
+  assert out.shape == (2, 32, 32, 3)
+  single = module.apply({'params': params}, x[0])
+  assert single.shape == (32, 32, 3)
+
+
+def test_detection_data_batch():
+  batch = det_data.sample_batch(
+      jax.random.PRNGKey(1), LATTICE, batch_size=2, image_size=64
+  )
+  assert batch['image'].shape == (2, 64, 64, 1)
+  assert batch['mask'].shape == (2, 64, 64, 3)
+  mask = np.asarray(batch['mask'])
+  # All three classes present; background dominates.
+  class_counts = mask.sum(axis=(0, 1, 2))
+  assert (class_counts > 0).all(), class_counts
+  assert class_counts[0] > class_counts[1] > class_counts[2]
+
+
+def test_detection_training_learns(tmp_path):
+  config = det_train.Config(
+      workdir=str(tmp_path),
+      batch_size=8,
+      epochs=2,
+      steps_per_epoch=8,
+      eval_steps=2,
+      image_size=32,
+      features=SMALL,
+      grid_columns=20,
+  )
+  history = []
+  det_train.train(config, progress=lambda e, m: history.append(m))
+  assert len(history) == 2
+  # Better than uniform (ln 3 = 1.1) and improving.
+  assert history[-1]['loss'] < 1.0
+  assert history[-1]['accuracy'] > 0.5
+  # Reload best params.
+  params = det_train.load_params(str(tmp_path), config)
+  assert params is not None
+
+
+def test_atom_detector_centroids_on_ideal_segmentation():
+  # Build an ideal prob map with two carbon blobs and one silicon blob.
+  s = 256
+  probs = np.zeros((s, s, 3), np.float32)
+  probs[..., 0] = 1.0
+
+  def put(cls, cx, cy, r):
+    yy, xx = np.mgrid[:s, :s]
+    mask = (xx - cx) ** 2 + (yy - cy) ** 2 < r**2
+    probs[mask, :] = 0.0
+    probs[mask, cls] = 1.0
+
+  put(1, 64, 64, 10)
+  put(1, 192, 64, 10)
+  put(2, 128, 192, 12)
+
+  centroids_c = det_inference.compute_centroids(
+      (np.argmax(probs, -1) == 1).astype(np.uint8), 1, 5, s
+  )
+  assert len(centroids_c) == 2
+  got = np.sort(np.asarray(centroids_c)[:, 0])
+  np.testing.assert_allclose(got, [64 / s, 192 / s], atol=0.02)
+  centroids_si = det_inference.compute_centroids(
+      (np.argmax(probs, -1) == 2).astype(np.uint8), 1, 5, s
+  )
+  assert len(centroids_si) == 1
+  np.testing.assert_allclose(
+      centroids_si[0], [128 / s, 1 - 192 / s], atol=0.02
+  )
+
+
+def test_atom_detector_end_to_end_untrained():
+  """Mechanics: random-params detector returns a valid grid."""
+  module = det_model.UNet(features=SMALL)
+  params = module.init(
+      jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 1))
+  )['params']
+  detector = det_inference.AtomDetector(
+      params, features=SMALL, image_size=64
+  )
+  image = np.random.default_rng(0).uniform(0, 1, (128, 128))
+  grid = detector(image)
+  assert isinstance(grid, md.AtomicGrid)
+  assert ((grid.atom_positions >= 0) & (grid.atom_positions <= 1)).all()
+
+
+def test_global_local_unet_shapes():
+  module = align_model.GlobalLocalUNet(
+      local_output_size=15, global_output_size=10, features=SMALL
+  )
+  x = jnp.zeros((2, 32, 32, 5))
+  params = module.init(jax.random.PRNGKey(3), x)['params']
+  local, global_out = module.apply({'params': params}, x)
+  assert local.shape == (2, 32, 32, 15)
+  assert global_out.shape == (2, 10)
+
+
+def test_alignment_data_stack():
+  batch = align_data.sample_stack(
+      jax.random.PRNGKey(4), LATTICE, batch_size=2, image_size=32,
+      num_frames=3,
+  )
+  assert batch['images'].shape == (2, 32, 32, 3)
+  assert batch['mask'].shape == (2, 32, 32, 9)
+  assert batch['drift'].shape == (2, 3, 2)
+  # Final frame is the drift reference: its label is zero.
+  np.testing.assert_allclose(np.asarray(batch['drift'])[:, -1], 0.0)
+
+
+def test_alignment_training_reduces_drift_error(tmp_path):
+  config = align_train.Config(
+      workdir=str(tmp_path),
+      batch_size=8,
+      epochs=2,
+      steps_per_epoch=8,
+      eval_steps=2,
+      image_size=32,
+      num_frames=3,
+      features=SMALL,
+      grid_columns=20,
+  )
+  history = []
+  align_train.train(config, progress=lambda e, m: history.append(m))
+  assert len(history) == 2
+  assert np.isfinite(history[-1]['drift_error'])
+  # Drift labels are bounded by cumulative U(-1,1) over 3 frames; even a
+  # barely trained model should beat a 5 A error.
+  assert history[-1]['drift_error'] < 5.0
+
+
+def test_image_aligner_mechanics():
+  history = 3
+  module = align_model.GlobalLocalUNet(
+      local_output_size=3 * history,
+      global_output_size=2 * history,
+      features=SMALL,
+  )
+  params = module.init(
+      jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, history))
+  )['params']
+  aligner = align_inference.ImageAligner(
+      params, features=SMALL, history_length=history, image_size=32,
+      hybrid=False, adaptive_normalization=False,
+  )
+  fov = md.MicroscopeFieldOfView(np.zeros(2), np.full(2, 20.0))
+  rng = np.random.default_rng(1)
+  for step in range(4):
+    image = rng.uniform(0, 1, (64, 64))
+    grid, drift, probs = aligner(image, fov)
+    assert probs.shape == (32, 32, 3)
+    assert drift.shape == (2,)
+    assert isinstance(grid, md.AtomicGrid)
