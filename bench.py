@@ -75,6 +75,7 @@ def bench_env_steps() -> float:
 def bench_frames(image_size: int = 128) -> float:
   lattice = lattice_lib.make_lattice(50)
   batch = 256
+  rounds = 16
   config = simulator_lib.SimulatorConfig(image_size=image_size)
 
   state, obs = simulator_lib.reset(
@@ -83,24 +84,32 @@ def bench_frames(image_size: int = 128) -> float:
   )
 
   @jax.jit
-  def render(key, window, fov, params):
-    return render_lib.render_stem_image(
-        key, window, fov, params, image_size=image_size
-    )
+  def render_many(key, window, fov, params):
+    # Scan over render rounds inside ONE dispatch so remote-dispatch
+    # latency does not dominate the measurement.
+    def body(key, _):
+      key, k = jax.random.split(key)
+      img = render_lib.render_stem_image(
+          k, window, fov, params, image_size=image_size
+      )
+      return key, jnp.sum(img[:, 0, 0])
+
+    key, sums = jax.lax.scan(body, key, None, length=rounds)
+    return sums
 
   params = state.imaging
-  img = render(jax.random.PRNGKey(2), obs.window, state.fov, params)
-  jax.block_until_ready(img)
+  out = render_many(jax.random.PRNGKey(2), obs.window, state.fov, params)
+  jax.block_until_ready(out)
 
-  n_calls = 8
+  n_calls = 4
   t0 = time.perf_counter()
   key = jax.random.PRNGKey(3)
   for i in range(n_calls):
     key, k = jax.random.split(key)
-    img = render(k, obs.window, state.fov, params)
-  jax.block_until_ready(img)
+    out = render_many(k, obs.window, state.fov, params)
+  jax.block_until_ready(out)
   dt = time.perf_counter() - t0
-  return batch * n_calls / dt
+  return batch * rounds * n_calls / dt
 
 
 def main():

@@ -63,7 +63,9 @@ def main(args: Args) -> 'object':
         experiment.get_simulator_config,
         simulator_step_limit=args.step_limit,
     )
-    results = eval_lib.evaluate(agent, env, seeds)
+    results = eval_lib.evaluate(
+        agent, env, seeds, video_save_dir=args.video_save_dir
+    )
 
   aggregate = eval_lib.aggregate_results(results)
   logging.info('Aggregate results:')

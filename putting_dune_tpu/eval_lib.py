@@ -214,20 +214,44 @@ def evaluate_batched(
   return results
 
 
+def _snapshot_frame(env):
+  """Captures (positions, numbers, goal, beam) for video generation."""
+  import numpy as _np
+
+  from putting_dune_tpu import constants as _constants
+  from putting_dune_tpu import lattice as _lattice_lib
+
+  state = env._state  # pylint: disable=protected-access
+  material = state.sim.material
+  world = _np.asarray(
+      _lattice_lib.world_positions(
+          env._env.lattice, material.offset, material.theta  # pylint: disable=protected-access
+      )
+  )[0]
+  numbers = _np.full(world.shape[0], _constants.CARBON)
+  numbers[int(_np.asarray(material.si_index)[0])] = _constants.SILICON
+  goal = _np.asarray(state.goal.position_material)[0]
+  return world, numbers, goal
+
+
 def evaluate(
     agent: agent_lib.Agent,
     env,
     seeds: Sequence[int],
     *,
     timeout: dt.timedelta = dt.timedelta(minutes=10),
+    video_save_dir: Optional[str] = None,
 ) -> List[EvalResult]:
   """Host-loop evaluation with exact reference timing semantics.
 
   Parity: reference eval_lib.py:77-184 — per-seed episodes on a dm_env
   environment, with the timeout covering simulated env seconds + agent
-  wall-clock seconds. `env` is the single-env dm_env wrapper
+  wall-clock seconds; optional per-seed episode GIFs (reference
+  :104-108, 167-179). `env` is the single-env dm_env wrapper
   (putting_dune_tpu.env.dm_env_wrapper.DmEnvWrapper).
   """
+  import os
+
   agent.set_mode(agent_lib.AgentMode.EVAL)
   results = []
   for seed in seeds:
@@ -238,6 +262,9 @@ def evaluate(
     env_elapsed = float(env.last_elapsed_seconds)
     num_actions = 0
     total_reward = 0.0
+    frames = []
+    if video_save_dir is not None:
+      frames.append(_snapshot_frame(env))
 
     while agent_elapsed + env_elapsed < timeout.total_seconds():
       t0 = time.perf_counter()
@@ -249,9 +276,22 @@ def evaluate(
       num_actions += 1
       if time_step.reward is not None:
         total_reward += float(time_step.reward)
+      if video_save_dir is not None:
+        frames.append(_snapshot_frame(env))
 
       if time_step.last():
         break
+
+    if video_save_dir is not None and frames:
+      from putting_dune_tpu import plotting_utils
+
+      os.makedirs(video_save_dir, exist_ok=True)
+      anim = plotting_utils.generate_video_from_trajectory(
+          [f[0] for f in frames],
+          [f[1] for f in frames],
+          goal_position=frames[0][2],
+      )
+      anim.save(os.path.join(video_save_dir, f'{seed}.gif'))
 
     discount = 1.0 if time_step.discount is None else float(time_step.discount)
     reached_goal = bool(time_step.last() and discount == 0.0)

@@ -1,0 +1,153 @@
+"""Tests: observers, test_utils fixtures, profiling, ORNL import, videos."""
+
+import datetime as dt
+import io
+import json
+import os
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu import simulator_observers
+from putting_dune_tpu import structures
+from putting_dune_tpu import test_utils
+from putting_dune_tpu.utils import profiling
+
+
+def test_event_observer_records_stream():
+  lattice = lattice_lib.make_lattice(20)
+  config = simulator_lib.SimulatorConfig(grid_columns=20)
+  observer = simulator_observers.EventObserver()
+
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(0), lattice, config=config, batch_size=1
+  )
+  observer.record_reset(state, obs)
+
+  control = structures.BeamControl(
+      position=jnp.full((1, 2), 0.5), dwell_seconds=jnp.full((1,), 10.0)
+  )
+
+  def high_rates(si_pos, neighbor_pos, beam_pos):
+    del neighbor_pos, beam_pos
+    return jnp.full(si_pos.shape[:-1] + (3,), 5.0)
+
+  state, obs, result = simulator_lib.step(
+      state, jax.random.PRNGKey(1), control, lattice, high_rates,
+      config=config, record_events=8,
+  )
+  observer.record_step(state, obs, result, control=control)
+
+  types = [e.event_type for e in observer.events]
+  assert simulator_observers.SimulatorEventType.RESET in types
+  assert simulator_observers.SimulatorEventType.APPLY_CONTROL in types
+  assert simulator_observers.SimulatorEventType.TAKE_IMAGE in types
+  transitions = [
+      e for e in observer.events
+      if e.event_type == simulator_observers.SimulatorEventType.TRANSITION
+  ]
+  assert len(transitions) >= 1  # total rate 15/s over 10 s => many events
+  assert transitions[0].data['time_since_control'] > 0
+
+
+def test_test_utils_fixtures():
+  env = test_utils.create_simple_environment(batch_size=2)
+  state, ts = env.reset(jax.random.PRNGKey(0))
+  assert ts.observation.shape == (2, 10)
+
+  obs = test_utils.create_single_silicon_observation(seed=1)
+  si = obs.grid.atomic_numbers == 14
+  assert si.sum() == 1
+  obs_img = test_utils.create_single_silicon_observation(
+      seed=1, with_image=True, image_size=64
+  )
+  assert obs_img.image.shape == (64, 64)
+
+
+def test_throughput_meter():
+  meter = profiling.Throughput(warmup=1)
+  for _ in range(5):
+    meter.tick(items=10)
+  assert meter.rate() > 0
+
+  results = {}
+  with profiling.timed('block', results):
+    pass
+  assert 'block' in results
+
+
+def _write_ndata1(path, data, metadata=None):
+  buf = io.BytesIO()
+  np.save(buf, data)
+  with zipfile.ZipFile(path, 'w') as zf:
+    zf.writestr('data.npy', buf.getvalue())
+    if metadata is not None:
+      zf.writestr('metadata.json', json.dumps(metadata))
+
+
+def test_import_microscope_data(tmp_path):
+  from putting_dune_tpu.pipeline import import_microscope_data as imd
+
+  n, h, w = 4, 32, 32
+  rng = np.random.default_rng(0)
+  images = rng.uniform(0, 1, (n, h, w, 1)).astype(np.float32)
+  labels = np.zeros((n, 16, 16), np.uint8)
+
+  metadata = {'metadata': {}}
+  for t in range(n):
+    coords = (rng.uniform(0, 16, (6, 2))).tolist()
+    metadata['metadata'][str(t)] = {
+        'ADF readouttime': 2.0,
+        'All coordinates': {'0': coords},
+        'All parameters': {'image_parameters': [2.0]},
+        'Blast coordinates': {'Dopants': [coords[0]]},
+        'Beam location': [coords[1]],
+        'Beam dwelltime': 1.5,
+        'ADF intensities': [[0.0, 0.0]],
+        'Pixelshifts': [1, 0],
+    }
+
+  dataset = tmp_path / 'run1'
+  dataset.mkdir()
+  _write_ndata1(dataset / 'ADF-stack-000.ndata1', images)
+  _write_ndata1(dataset / 'Label-stack-000.ndata1', labels, metadata)
+
+  raw, coords, params = imd.load_dataset(dataset)
+  assert raw.shape == (n, h, w, 1)
+  trajectory = imd.convert_dataset(raw, coords, params)
+  assert len(trajectory.observations) == n
+  obs0 = trajectory.observations[0]
+  assert obs0.image.shape == (h, w, 1)
+  assert (obs0.grid.atomic_numbers == 14).sum() == 1  # dopant labeled
+  assert len(obs0.controls) == 1
+  assert obs0.controls[0].dwell_time == dt.timedelta(seconds=1.5)
+  # Pixel shifts accumulate into the FOV.
+  fov0 = trajectory.observations[0].fov
+  fov1 = trajectory.observations[1].fov
+  assert fov1.lower_left[0] > fov0.lower_left[0]
+
+
+def test_eval_video_generation(tmp_path):
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  exp = registry.create_eval_experiment('greedy_simple_rates')
+  env = run_helpers.create_putting_dune_env(
+      0, exp.get_adapters_and_goal, exp.get_simulator_config,
+      grid_columns=20, simulator_step_limit=20,
+  )
+  agent = exp.get_agent(
+      np.random.default_rng(0), exp.get_adapters_and_goal()
+  )
+  results = eval_lib.evaluate(
+      agent, env, [0], video_save_dir=str(tmp_path)
+  )
+  assert len(results) == 1
+  assert os.path.exists(str(tmp_path / '0.gif'))
