@@ -6,15 +6,19 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): the reference publishes no numbers; the north star
 is >= 1,000,000 batched env steps/sec (1024 envs) and >= 50,000 rendered
 128x128 STEM frames/sec on one v5e chip. vs_baseline is value / 1e6.
+
+Measurement notes: every timed region ends with a scalar host fetch
+(float(checksum)) — on the remote-TPU backend, block_until_ready can
+acknowledge before execution finishes, so device-only timing overreports.
+Work is batched into long lax.scan bodies so per-dispatch tunnel latency
+is amortized.
 """
 
-import functools
 import json
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from putting_dune_tpu import lattice as lattice_lib
 from putting_dune_tpu import rates as rates_lib
@@ -22,11 +26,10 @@ from putting_dune_tpu import simulator as simulator_lib
 from putting_dune_tpu.env import action_adapters
 from putting_dune_tpu.env import env as env_lib
 from putting_dune_tpu.env import features as features_lib
-from putting_dune_tpu.imaging import params as imaging_params
 from putting_dune_tpu.imaging import render as render_lib
 
 BATCH = 1024
-STEPS_PER_CALL = 64
+STEPS_PER_CALL = 512
 ENV_STEP_BASELINE = 1_000_000.0
 FRAMES_BASELINE = 50_000.0
 
@@ -56,18 +59,19 @@ def bench_env_steps() -> float:
     (state, ts, key), _ = jax.lax.scan(
         body, (state, ts, key), None, length=STEPS_PER_CALL
     )
-    return state, ts, key
+    checksum = jnp.sum(ts.reward) + jnp.sum(ts.observation)
+    return state, ts, key, checksum
 
   key = jax.random.PRNGKey(0)
   state, ts = env.reset(key)
-  state, ts, key = rollout(state, ts, key)  # compile + warmup
-  jax.block_until_ready(state)
+  state, ts, key, chk = rollout(state, ts, key)  # compile + warmup
+  float(chk)
 
-  n_calls = 8
+  n_calls = 4
   t0 = time.perf_counter()
   for _ in range(n_calls):
-    state, ts, key = rollout(state, ts, key)
-  jax.block_until_ready(state)
+    state, ts, key, chk = rollout(state, ts, key)
+    float(chk)  # host fetch: forces real completion
   dt = time.perf_counter() - t0
   return BATCH * STEPS_PER_CALL * n_calls / dt
 
@@ -85,8 +89,6 @@ def bench_frames(image_size: int = 128) -> float:
 
   @jax.jit
   def render_many(key, window, fov, params):
-    # Scan over render rounds inside ONE dispatch so remote-dispatch
-    # latency does not dominate the measurement.
     def body(key, _):
       key, k = jax.random.split(key)
       img = render_lib.render_stem_image(
@@ -95,19 +97,17 @@ def bench_frames(image_size: int = 128) -> float:
       return key, jnp.sum(img[:, 0, 0])
 
     key, sums = jax.lax.scan(body, key, None, length=rounds)
-    return sums
+    return jnp.sum(sums)
 
   params = state.imaging
-  out = render_many(jax.random.PRNGKey(2), obs.window, state.fov, params)
-  jax.block_until_ready(out)
+  float(render_many(jax.random.PRNGKey(2), obs.window, state.fov, params))
 
   n_calls = 4
   t0 = time.perf_counter()
   key = jax.random.PRNGKey(3)
-  for i in range(n_calls):
+  for _ in range(n_calls):
     key, k = jax.random.split(key)
-    out = render_many(k, obs.window, state.fov, params)
-  jax.block_until_ready(out)
+    float(render_many(k, obs.window, state.fov, params))
   dt = time.perf_counter() - t0
   return batch * rounds * n_calls / dt
 

@@ -60,13 +60,15 @@ def equalize_adapthist(
   tiles = bins.reshape(b, g, th, g, tw).transpose(0, 1, 3, 2, 4)
   tiles = tiles.reshape(b, g, g, npx)
 
-  # Cumulative counts via sort + searchsorted: cum[v] = #(pixels <= v).
-  sorted_tiles = jnp.sort(tiles, axis=-1)
-  levels = jnp.arange(nbins, dtype=jnp.int32)
-  cum = jax.vmap(
-      lambda s: jnp.searchsorted(s, levels, side='right'),
-  )(sorted_tiles.reshape(-1, npx)).reshape(b, g, g, nbins)
-  hist = jnp.diff(cum, axis=-1, prepend=0).astype(jnp.float32)
+  # Histogram via a one-hot reduction (sort/searchsorted and scatters are
+  # slow on TPU; a comparison + MXU reduction streams instead).
+  onehot_tiles = jax.nn.one_hot(tiles, nbins, dtype=jnp.bfloat16)
+  hist = jnp.einsum(
+      'bijpv,p->bijv',
+      onehot_tiles,
+      jnp.ones((npx,), jnp.bfloat16),
+      preferred_element_type=jnp.float32,
+  )  # (B, g, g, nbins)
 
   # Clip + uniform redistribution of the excess.
   clim = jnp.maximum(clip_limit * npx, 1.0)
@@ -76,32 +78,65 @@ def equalize_adapthist(
   cdf = jnp.cumsum(hist, axis=-1)
   mapping = cdf / cdf[..., -1:]  # (B, g, g, nbins) in (0, 1]
 
-  # Bilinear interpolation between the 4 surrounding tile mappings.
-  def axis_weights(extent: int, tile: int):
-    coords = (jnp.arange(extent, dtype=jnp.float32) + 0.5) / tile - 0.5
-    i0 = jnp.clip(jnp.floor(coords), 0, g - 2).astype(jnp.int32)
-    frac = jnp.clip(coords - i0.astype(jnp.float32), 0.0, 1.0)
-    return i0, frac
-
-  ry0, rfy = axis_weights(h, th)  # (H,)
-  cx0, cfx = axis_weights(w, tw)  # (W,)
-
-  flat_map = mapping.reshape(b, g * g * nbins)
-
-  def corner(dy: int, dx: int) -> jnp.ndarray:
-    ty = (ry0 + dy)[None, :, None]  # (1, H, 1)
-    tx = (cx0 + dx)[None, None, :]  # (1, 1, W)
-    idx = (ty * g + tx) * nbins + bins  # (B, H, W)
-    return jnp.take_along_axis(flat_map, idx.reshape(b, -1), axis=-1).reshape(
-        b, h, w
-    )
-
-  wy = rfy[None, :, None]
-  wx = cfx[None, None, :]
-  out = (
-      corner(0, 0) * (1 - wy) * (1 - wx)
-      + corner(0, 1) * (1 - wy) * wx
-      + corner(1, 0) * wy * (1 - wx)
-      + corner(1, 1) * wy * wx
+  # --- bilinear interpolation between the 4 surrounding tile mappings ---
+  # TPU-first formulation: per-pixel LUT gathers are very slow on TPU, so
+  # the lookup is expressed as a one-hot matmul on the MXU. The image is
+  # re-blocked into (g+1)^2 DUAL blocks (offset by half a tile) so that
+  # every pixel inside a dual block interpolates the SAME four tile
+  # mappings; each block then does out = onehot(bins) @ [LUT00 LUT01 LUT10
+  # LUT11] followed by a bilinear-weighted sum. One can show the clipped
+  # corner tiles + in-block fractional weights reproduce the standard
+  # clamped-edge bilinear scheme exactly.
+  pad_h, pad_w = th // 2, tw // 2
+  bins_padded = jnp.pad(
+      bins, ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)), mode='edge'
+  )  # (B, (g+1)*th, (g+1)*tw)
+  blocks = bins_padded.reshape(b, g + 1, th, g + 1, tw)
+  blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
+      b, (g + 1) * (g + 1), th * tw
   )
-  return out
+
+  # Corner LUTs per dual block: tiles (clip(i-1), clip(i)) x (clip(j-1),
+  # clip(j)), built with edge padding (no gathers).
+  mp = jnp.pad(
+      mapping, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge'
+  )  # (B, g+2, g+2, V)
+  corners = jnp.stack(
+      [
+          mp[:, 0:g + 1, 0:g + 1],  # (i-1, j-1)
+          mp[:, 0:g + 1, 1:g + 2],  # (i-1, j)
+          mp[:, 1:g + 2, 0:g + 1],  # (i,   j-1)
+          mp[:, 1:g + 2, 1:g + 2],  # (i,   j)
+      ],
+      axis=-1,
+  )  # (B, g+1, g+1, V, 4)
+  luts = corners.reshape(b, (g + 1) * (g + 1), nbins, 4)
+
+  onehot = jax.nn.one_hot(blocks, nbins, dtype=jnp.bfloat16)
+  vals = jnp.einsum(
+      'bkpv,bkvc->bkpc',
+      onehot,
+      luts.astype(jnp.bfloat16),
+      preferred_element_type=jnp.float32,
+  )  # (B, K, P, 4)
+
+  # In-block fractional weights: fy = (row_in_block + 0.5) / th.
+  fy = ((jnp.arange(th, dtype=jnp.float32) + 0.5) / th)[:, None]
+  fx = ((jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw)[None, :]
+  wgt = jnp.stack(
+      [
+          (1 - fy) * (1 - fx),
+          (1 - fy) * fx,
+          fy * (1 - fx),
+          fy * fx,
+      ],
+      axis=-1,
+  ).reshape(1, 1, th * tw, 4)
+  out_blocks = jnp.sum(vals * wgt, axis=-1)  # (B, K, P)
+
+  out_padded = (
+      out_blocks.reshape(b, g + 1, g + 1, th, tw)
+      .transpose(0, 1, 3, 2, 4)
+      .reshape(b, (g + 1) * th, (g + 1) * tw)
+  )
+  return out_padded[:, pad_h:pad_h + h, pad_w:pad_w + w]

@@ -118,9 +118,17 @@ def test_jitter_rolls_rows_circularly():
   image = jnp.tile(jnp.arange(16, dtype=jnp.float32)[None, None, :],
                    (1, 8, 1))
   out = np.asarray(noise_lib.apply_jitter(key, image, jnp.asarray([3.0])))
-  # Every row is a circular permutation: sorted row == original row.
+  # Every row is a circular permutation (FFT shift: float32 roundoff).
   for r in range(8):
-    np.testing.assert_array_equal(np.sort(out[0, r]), np.arange(16))
+    np.testing.assert_allclose(
+        np.sort(out[0, r]), np.arange(16), atol=1e-3
+    )
+  # And rows match an exact np.roll for the recovered shift.
+  for r in range(8):
+    shift = int(np.argmin(np.abs(out[0, r] - 0.0)))
+    np.testing.assert_allclose(
+        out[0, r], np.roll(np.arange(16), shift), atol=1e-3
+    )
 
 
 def test_salt_and_pepper_fraction():
@@ -180,3 +188,20 @@ def test_simulator_returns_image():
   )
   assert obs.image.shape == (2, 128, 128)
   assert np.isfinite(np.asarray(obs.image)).all()
+
+
+def test_fast_poisson_matches_exact_statistics():
+  """The hybrid sampler matches Poisson mean/variance in both regimes."""
+  key = jax.random.PRNGKey(20)
+  for lam_value in [0.05, 0.5, 2.0, 3.9, 4.1, 15.0, 80.0]:
+    lam = jnp.full((1, 256, 256), lam_value)
+    counts = np.asarray(noise_lib._poisson_fast(key, lam))
+    n = counts.size
+    se_mean = np.sqrt(lam_value / n)
+    assert abs(counts.mean() - lam_value) < 6 * se_mean + 0.02, (
+        lam_value, counts.mean()
+    )
+    assert abs(counts.var() - lam_value) < 0.1 * lam_value + 0.02, (
+        lam_value, counts.var()
+    )
+    assert counts.min() >= 0
