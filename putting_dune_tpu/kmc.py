@@ -158,3 +158,107 @@ def apply_control(
       event_times=ev_t,
       event_sites=ev_s,
   )
+
+
+class MultiDopantKMCResult(NamedTuple):
+  """Outcome for multi-dopant exposures.
+
+  Attributes:
+    si_indices: (B, D) int32 final dopant sites.
+    num_transitions: (B,) int32 total events across all dopants.
+  """
+
+  si_indices: jnp.ndarray
+  num_transitions: jnp.ndarray
+
+
+def apply_control_multi(
+    key: jax.Array,
+    lattice: lattice_lib.Lattice,
+    offset: jnp.ndarray,
+    theta: jnp.ndarray,
+    si_indices: jnp.ndarray,
+    beam_position: jnp.ndarray,
+    dwell_seconds: jnp.ndarray,
+    rate_fn: rates_lib.RateFunction,
+) -> MultiDopantKMCResult:
+  """KMC over D dopants per environment (stress-fidelity extension).
+
+  The reference simulates exactly one dopant (PristineSingleDopedGraphene);
+  this extends the same waiting-time law to D dopants: each KMC round
+  evaluates all D dopants' neighbor rates, draws ONE exponential waiting
+  time from the summed rate, and moves one (dopant, neighbor) pair chosen
+  categorically — the standard multi-channel KMC. Moves onto sites
+  occupied by another dopant are masked out (rate 0).
+
+  Args:
+    si_indices: (B, D) int32 current dopant sites.
+    Everything else as apply_control; beam_position (B, 2) material frame.
+
+  Returns:
+    MultiDopantKMCResult.
+  """
+  batch, num_dopants = si_indices.shape
+
+  def cond(carry):
+    _, _, _, active, _ = carry
+    return jnp.any(active)
+
+  def body(carry):
+    key, si, elapsed, active, count = carry
+    key, k_wait, k_choice = jax.random.split(key, 3)
+
+    nbr_idx = lattice.neighbors[si]  # (B, D, 3)
+    si_pos = lattice_lib.site_position(lattice, si, offset, theta)
+    nbr_pos = lattice_lib.site_position(lattice, nbr_idx, offset, theta)
+
+    def rates_for_dopant(si_pos_d, nbr_pos_d):
+      return rate_fn(si_pos_d, nbr_pos_d, beam_position)
+
+    rates = jax.vmap(
+        rates_for_dopant, in_axes=(1, 1), out_axes=1
+    )(si_pos, nbr_pos)  # (B, D, 3)
+
+    # Mask moves onto occupied sites.
+    occupied = (
+        nbr_idx[..., None] == si[:, None, None, :]
+    ).any(-1)  # (B, D, 3)
+    rates = jnp.where(occupied, 0.0, rates)
+
+    flat_rates = rates.reshape(batch, num_dopants * 3)
+    total = jnp.sum(flat_rates, axis=-1)
+    dt = jax.random.exponential(k_wait, (batch,)) / jnp.maximum(
+        total, 1e-30
+    )
+    dt = jnp.minimum(dt, constants.MAX_WAITING_TIME_SECONDS)
+    new_elapsed = elapsed + dt
+    fired = jnp.logical_and(active, new_elapsed <= dwell_seconds)
+
+    choice = jax.random.categorical(
+        k_choice, jnp.log(jnp.maximum(flat_rates, 1e-30)), axis=-1
+    )
+    dopant = choice // 3
+    neighbor = choice % 3
+    target = jnp.take_along_axis(
+        nbr_idx.reshape(batch, -1), choice[:, None], axis=-1
+    )[:, 0]
+    moved = jnp.where(
+        (jnp.arange(num_dopants)[None, :] == dopant[:, None])
+        & fired[:, None],
+        target[:, None],
+        si,
+    )
+    count = count + fired.astype(jnp.int32)
+    active = jnp.logical_and(active, new_elapsed < dwell_seconds)
+    elapsed = jnp.where(active | fired, new_elapsed, elapsed)
+    return key, moved, elapsed, active, count
+
+  init = (
+      key,
+      si_indices,
+      jnp.zeros((batch,), jnp.float32),
+      dwell_seconds > 0.0,
+      jnp.zeros((batch,), jnp.int32),
+  )
+  _, si_final, _, _, count = jax.lax.while_loop(cond, body, init)
+  return MultiDopantKMCResult(si_indices=si_final, num_transitions=count)

@@ -172,3 +172,22 @@ def initial_silicon_index(
   shifted = lattice.positions + offset[..., None, :]
   d2 = jnp.sum(shifted * shifted, axis=-1)
   return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def canonical_graphene_with_centered_silicon(
+    num_cols: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+  """Canonical sheet with the silicon site moved to the exact origin.
+
+  Parity: reference graphene.py:504-530
+  (canonical_pristine_graphene_with_centered_silicon) — positions are
+  re-centered so the dopant (the site nearest the centroid) sits at (0, 0).
+
+  Returns (positions (N, 2) float64, atomic_numbers (N,) int32).
+  """
+  positions = canonical_graphene_positions(num_cols)
+  atomic_numbers = np.full(positions.shape[0], constants.CARBON, np.int32)
+  si_idx = int(np.argmin(np.sum(positions**2, axis=1)))
+  atomic_numbers[si_idx] = constants.SILICON
+  positions = positions - positions[si_idx : si_idx + 1]
+  return positions, atomic_numbers

@@ -172,3 +172,35 @@ def test_waiting_time_clip_prevents_hangs():
   # Near-zero rates: the 3600 s clip must guarantee loop progress.
   result = _run(jax.random.PRNGKey(8), constant_rate_fn(1e-20), 10.0)
   assert int(np.asarray(result.num_transitions).max()) == 0
+
+
+def test_multi_dopant_kmc():
+  """Multi-channel KMC: dopants move, never collide, stats sane."""
+  batch, dopants = 64, 3
+  offset = jnp.zeros((batch, 2))
+  theta = jnp.zeros((batch,))
+  positions = np.asarray(LATTICE.positions)
+  # Three well-separated dopants.
+  idx0 = int(np.argmin(np.sum(positions**2, axis=1)))
+  idx1 = int(np.argmin(np.sum((positions - 5.0) ** 2, axis=1)))
+  idx2 = int(np.argmin(np.sum((positions + 5.0) ** 2, axis=1)))
+  si = jnp.tile(jnp.asarray([[idx0, idx1, idx2]], jnp.int32), (batch, 1))
+  beam = jnp.tile(
+      jnp.asarray(positions[idx0], jnp.float32)[None], (batch, 1)
+  )
+
+  result = kmc.apply_control_multi(
+      jax.random.PRNGKey(20),
+      LATTICE,
+      offset,
+      theta,
+      si,
+      beam,
+      jnp.full((batch,), 3.0),
+      constant_rate_fn(1.0),
+  )
+  out = np.asarray(result.si_indices)
+  # No two dopants ever share a site.
+  for b in range(batch):
+    assert len(set(out[b].tolist())) == dopants
+  assert np.asarray(result.num_transitions).mean() > 1.0
