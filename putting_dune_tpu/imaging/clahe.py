@@ -27,13 +27,15 @@ import jax.numpy as jnp
 
 
 @functools.partial(
-    jax.jit, static_argnames=('clip_limit', 'grid_size', 'nbins')
+    jax.jit,
+    static_argnames=('clip_limit', 'grid_size', 'nbins', 'backend'),
 )
 def equalize_adapthist(
     image: jnp.ndarray,
     clip_limit: float = 0.01,
     grid_size: int = 8,
     nbins: int = 256,
+    backend: str = 'auto',
 ) -> jnp.ndarray:
   """Applies CLAHE to a batch of frames.
 
@@ -43,6 +45,11 @@ def equalize_adapthist(
     clip_limit: histogram clip fraction (of tile pixel count).
     grid_size: tiles per side.
     nbins: gray-level bins.
+    backend: 'xla' (one-hot matmul through HBM; default via 'auto' — on a
+      v5e it runs the 256-frame batch in ~7.6 ms) or 'pallas'
+      (ops/clahe_pallas.py, VMEM-resident kernel; correct but currently
+      slower because the (P, V) x (V, 4) matmuls pad N=4 to the MXU width
+      — kept as an alternative backend and a tuning target).
 
   Returns:
     (B, H, W) float32 in [0, 1].
@@ -112,14 +119,6 @@ def equalize_adapthist(
   )  # (B, g+1, g+1, V, 4)
   luts = corners.reshape(b, (g + 1) * (g + 1), nbins, 4)
 
-  onehot = jax.nn.one_hot(blocks, nbins, dtype=jnp.bfloat16)
-  vals = jnp.einsum(
-      'bkpv,bkvc->bkpc',
-      onehot,
-      luts.astype(jnp.bfloat16),
-      preferred_element_type=jnp.float32,
-  )  # (B, K, P, 4)
-
   # In-block fractional weights: fy = (row_in_block + 0.5) / th.
   fy = ((jnp.arange(th, dtype=jnp.float32) + 0.5) / th)[:, None]
   fx = ((jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw)[None, :]
@@ -131,8 +130,23 @@ def equalize_adapthist(
           fy * fx,
       ],
       axis=-1,
-  ).reshape(1, 1, th * tw, 4)
-  out_blocks = jnp.sum(vals * wgt, axis=-1)  # (B, K, P)
+  ).reshape(th * tw, 4)
+
+  if backend == 'pallas':
+    from putting_dune_tpu.ops import clahe_pallas
+
+    out_blocks = clahe_pallas.clahe_interpolate(
+        blocks, luts, wgt, interpret=jax.default_backend() == 'cpu'
+    )
+  else:
+    onehot = jax.nn.one_hot(blocks, nbins, dtype=jnp.bfloat16)
+    vals = jnp.einsum(
+        'bkpv,bkvc->bkpc',
+        onehot,
+        luts.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (B, K, P, 4)
+    out_blocks = jnp.sum(vals * wgt.reshape(1, 1, th * tw, 4), axis=-1)
 
   out_padded = (
       out_blocks.reshape(b, g + 1, g + 1, th, tw)
