@@ -23,7 +23,7 @@ from putting_dune_tpu.agents import agent_lib
 
 
 class MLPPolicy(nn.Module):
-  """Vector-observation policy head."""
+  """Vector-observation policy head (tanh tower, matching the PPO actor)."""
 
   hidden: tuple[int, ...] = (256, 256)
   action_dim: int = 2
@@ -32,7 +32,7 @@ class MLPPolicy(nn.Module):
   def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
     x = obs
     for width in self.hidden:
-      x = nn.swish(nn.Dense(width)(x))
+      x = nn.tanh(nn.Dense(width)(x))
     return nn.tanh(nn.Dense(self.action_dim)(x))
 
 

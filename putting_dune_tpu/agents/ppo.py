@@ -1,0 +1,257 @@
+"""Native PPO training on the batched device environment.
+
+The reference ships frozen `ppo_*` TF policies trained outside the repo
+(experiments/registry.py:71-164). This framework closes that loop: with the
+simulator stepping >1M env-steps/sec on one chip, PPO trains end-to-end
+on device — rollout collection, GAE, and clipped-objective updates all
+inside jit. The resulting policies save as EvalAgent checkpoints, which is
+what the registry's PolicyCheckpointAgent loads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from putting_dune_tpu.env import env as env_lib
+
+
+class ActorCritic(nn.Module):
+  """Gaussian policy + value head over vector observations."""
+
+  action_dim: int = 2
+  hidden: Tuple[int, ...] = (256, 256)
+
+  @nn.compact
+  def __call__(self, obs: jnp.ndarray):
+    x = obs
+    for width in self.hidden:
+      x = nn.tanh(nn.Dense(width)(x))
+    mean = nn.tanh(nn.Dense(self.action_dim, name='policy_mean')(x))
+    log_std = self.param(
+        'log_std', nn.initializers.constant(-0.5), (self.action_dim,)
+    )
+    value = nn.Dense(1, name='value')(x)[..., 0]
+    return mean, jnp.broadcast_to(log_std, mean.shape), value
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+  num_updates: int = 200
+  rollout_length: int = 64
+  learning_rate: float = 3e-4
+  gamma_fallback: float = 0.99  # unused: the env supplies per-step discounts
+  gae_lambda: float = 0.95
+  clip_epsilon: float = 0.2
+  value_coef: float = 0.5
+  entropy_coef: float = 1e-3
+  num_epochs: int = 4
+  num_minibatches: int = 8
+  max_grad_norm: float = 0.5
+  hidden: Tuple[int, ...] = (256, 256)
+
+
+def _gaussian_logprob(mean, log_std, action):
+  var = jnp.exp(2 * log_std)
+  return jnp.sum(
+      -0.5 * jnp.square(action - mean) / var
+      - log_std
+      - 0.5 * jnp.log(2 * jnp.pi),
+      axis=-1,
+  )
+
+
+def make_train(
+    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig()
+):
+  """Builds a jitted PPO train function for the given batched env.
+
+  Returns train(key) -> (params, metrics) where metrics hold per-update
+  mean episode returns and losses. The entire optimization — rollouts, GAE
+  with the env's per-step simulated-time discounts, minibatched clipped
+  updates — is ONE jitted lax.scan program.
+  """
+  action_dim = env.action_spec().shape[0]
+  module = ActorCritic(action_dim=action_dim, hidden=config.hidden)
+  batch = env.batch_size
+
+  optimizer = optax.chain(
+      optax.clip_by_global_norm(config.max_grad_norm),
+      optax.adam(config.learning_rate),
+  )
+
+  def train(key: jax.Array):
+    key, k_init, k_reset = jax.random.split(key, 3)
+    obs_dim = env.observation_spec().shape[0]
+    params = module.init(k_init, jnp.zeros((1, obs_dim)))['params']
+    opt_state = optimizer.init(params)
+    env_state, ts = env.reset(k_reset)
+
+    def policy_step(carry, _):
+      params, env_state, ts, key = carry
+      key, k_act, k_step = jax.random.split(key, 3)
+      mean, log_std, value = module.apply({'params': params},
+                                          ts.observation)
+      action = mean + jnp.exp(log_std) * jax.random.normal(
+          k_act, mean.shape
+      )
+      logprob = _gaussian_logprob(mean, log_std, action)
+      next_state, next_ts = env.step(env_state, action, k_step)
+      transition = {
+          'obs': ts.observation,
+          'action': action,
+          'logprob': logprob,
+          'value': value,
+          'reward': next_ts.reward,
+          # discount is 0 at terminals and gamma**elapsed otherwise, which
+          # is exactly the GAE bootstrap factor for this env.
+          'discount': next_ts.discount,
+          'next_is_first': next_ts.first(),
+      }
+      return (params, next_state, next_ts, key), transition
+
+    def update(carry, _):
+      params, opt_state, env_state, ts, key = carry
+
+      (params_c, env_state, ts, key), traj = jax.lax.scan(
+          policy_step,
+          (params, env_state, ts, key),
+          None,
+          length=config.rollout_length,
+      )
+      del params_c
+
+      _, _, last_value = module.apply({'params': params}, ts.observation)
+
+      def gae_step(carry, t):
+        gae, next_value = carry
+        # Auto-reset boundaries: no bootstrap across a FIRST step.
+        boot = jnp.where(t['next_is_first'], 0.0, t['discount'])
+        delta = t['reward'] + boot * next_value - t['value']
+        gae = delta + boot * config.gae_lambda * gae
+        return (gae, t['value']), gae
+
+      (_, _), advantages = jax.lax.scan(
+          gae_step,
+          (jnp.zeros((batch,)), last_value),
+          traj,
+          reverse=True,
+      )
+      returns = advantages + traj['value']
+
+      flat = jax.tree_util.tree_map(
+          lambda x: x.reshape((config.rollout_length * batch,) + x.shape[2:]),
+          {**traj, 'advantage': advantages, 'return': returns},
+      )
+
+      def epoch(carry, _):
+        params, opt_state, key = carry
+        key, k_perm = jax.random.split(key)
+        n = config.rollout_length * batch
+        perm = jax.random.permutation(k_perm, n)
+        mb_size = n // config.num_minibatches
+        idx = perm[: mb_size * config.num_minibatches].reshape(
+            config.num_minibatches, mb_size
+        )
+
+        def minibatch(carry, mb_idx):
+          params, opt_state = carry
+          mb = jax.tree_util.tree_map(lambda x: x[mb_idx], flat)
+
+          def loss_fn(params):
+            mean, log_std, value = module.apply(
+                {'params': params}, mb['obs']
+            )
+            logprob = _gaussian_logprob(mean, log_std, mb['action'])
+            ratio = jnp.exp(logprob - mb['logprob'])
+            adv = mb['advantage']
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            unclipped = ratio * adv
+            clipped = jnp.clip(
+                ratio, 1 - config.clip_epsilon, 1 + config.clip_epsilon
+            ) * adv
+            policy_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+            value_loss = 0.5 * jnp.mean(
+                jnp.square(value - mb['return'])
+            )
+            entropy = jnp.mean(
+                jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e),
+                        axis=-1)
+            )
+            total = (
+                policy_loss
+                + config.value_coef * value_loss
+                - config.entropy_coef * entropy
+            )
+            return total, (policy_loss, value_loss, entropy)
+
+          (loss, aux), grads = jax.value_and_grad(
+              loss_fn, has_aux=True
+          )(params)
+          updates, opt_state = optimizer.update(grads, opt_state, params)
+          params = optax.apply_updates(params, updates)
+          return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            minibatch, (params, opt_state), idx
+        )
+        return (params, opt_state, key), jnp.mean(losses)
+
+      (params, opt_state, key), losses = jax.lax.scan(
+          epoch, (params, opt_state, key), None, length=config.num_epochs
+      )
+
+      metrics = {
+          'loss': jnp.mean(losses),
+          'mean_reward': jnp.mean(traj['reward']),
+          'terminal_rate': jnp.mean(
+              (traj['discount'] == 0.0).astype(jnp.float32)
+          ),
+          'mean_value': jnp.mean(traj['value']),
+      }
+      return (params, opt_state, env_state, ts, key), metrics
+
+    (params, opt_state, env_state, ts, key), metrics = jax.lax.scan(
+        update,
+        (params, opt_state, env_state, ts, key),
+        None,
+        length=config.num_updates,
+    )
+    return params, metrics
+
+  return jax.jit(train), module
+
+
+def train_and_save(
+    env: env_lib.PuttingDuneEnv,
+    save_dir: str,
+    config: PPOConfig = PPOConfig(),
+    seed: int = 0,
+):
+  """Trains PPO and saves the policy as an EvalAgent checkpoint."""
+  from putting_dune_tpu.agents import eval_agent
+
+  train, module = make_train(env, config)
+  params, metrics = train(jax.random.PRNGKey(seed))
+  params = jax.device_get(params)
+
+  policy_module = eval_agent.MLPPolicy(
+      hidden=config.hidden, action_dim=env.action_spec().shape[0]
+  )
+  # Transfer the actor tower + mean head into the eval policy layout:
+  # MLPPolicy layers Dense_0..N then final Dense; ActorCritic shares names
+  # Dense_0..N for the tower and 'policy_mean' for the head.
+  policy_params = {}
+  for i in range(len(config.hidden)):
+    policy_params[f'Dense_{i}'] = params[f'Dense_{i}']
+  policy_params[f'Dense_{len(config.hidden)}'] = params['policy_mean']
+  agent = eval_agent.EvalAgent(policy_module, policy_params)
+  agent.save(save_dir)
+  return agent, jax.device_get(metrics)

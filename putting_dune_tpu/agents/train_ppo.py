@@ -1,0 +1,85 @@
+"""PPO training CLI.
+
+Trains a policy on a named train experiment (experiments/registry.py) with
+the fully-jitted on-device PPO trainer and saves an EvalAgent checkpoint
+loadable by the registry's PolicyCheckpointAgent.
+
+  python -m putting_dune_tpu.agents.train_ppo \
+      --train_experiment=relative_simple_rates --workdir=/tmp/ppo \
+      --num_updates=300 --batch_size=1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main() -> None:
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--train_experiment', default='relative_simple_rates')
+  parser.add_argument('--workdir', required=True)
+  parser.add_argument('--batch_size', type=int, default=1024)
+  parser.add_argument('--num_updates', type=int, default=300)
+  parser.add_argument('--rollout_length', type=int, default=64)
+  parser.add_argument('--learning_rate', type=float, default=3e-4)
+  parser.add_argument('--seed', type=int, default=0)
+  parser.add_argument('--eval_suite', default='small_eval')
+  args = parser.parse_args()
+
+  import jax
+
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.agents import ppo
+  from putting_dune_tpu.experiments import registry
+
+  experiment = registry.create_train_experiment(args.train_experiment)
+  env = run_helpers.create_batched_env(
+      experiment.get_adapters_and_goal,
+      experiment.get_simulator_config,
+      batch_size=args.batch_size,
+  )
+  config = ppo.PPOConfig(
+      num_updates=args.num_updates,
+      rollout_length=args.rollout_length,
+      learning_rate=args.learning_rate,
+  )
+  os.makedirs(args.workdir, exist_ok=True)
+  agent, metrics = ppo.train_and_save(
+      env, os.path.join(args.workdir, 'policy'), config=config,
+      seed=args.seed,
+  )
+  np.savez_compressed(
+      os.path.join(args.workdir, 'train_metrics.npz'), **metrics
+  )
+  print(
+      'terminal rate first/last 10 updates:',
+      float(metrics['terminal_rate'][:10].mean()),
+      float(metrics['terminal_rate'][-10:].mean()),
+  )
+
+  if args.eval_suite:
+    seeds = eval_lib.EVAL_SUITES[args.eval_suite]
+    eval_env = run_helpers.create_batched_env(
+        experiment.get_adapters_and_goal,
+        experiment.get_simulator_config,
+        batch_size=len(seeds),
+    )
+    results = eval_lib.evaluate_batched(eval_env, agent.policy(), seeds)
+    aggregate = eval_lib.aggregate_results(results)
+    summary = {
+        'success_rate': aggregate.average_num_times_reached_goal,
+        'avg_actions': aggregate.average_num_actions_taken,
+        'avg_total_reward': aggregate.average_total_reward,
+    }
+    print('eval:', json.dumps(summary))
+    with open(os.path.join(args.workdir, 'eval.json'), 'w') as f:
+      json.dump(summary, f)
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,45 @@
+"""PPO trainer tests: the jitted train program runs, improves, and exports
+a loadable eval-agent checkpoint."""
+
+import jax
+import numpy as np
+
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import test_utils
+from putting_dune_tpu.agents import eval_agent
+from putting_dune_tpu.agents import ppo
+
+
+def test_ppo_trains_and_exports(tmp_path):
+  env = test_utils.create_simple_environment(batch_size=32)
+  config = ppo.PPOConfig(
+      num_updates=6,
+      rollout_length=16,
+      num_epochs=2,
+      num_minibatches=4,
+      hidden=(32, 32),
+  )
+  agent, metrics = ppo.train_and_save(
+      env, str(tmp_path / 'policy'), config=config, seed=0
+  )
+  assert np.isfinite(metrics['loss']).all()
+  assert metrics['mean_reward'].shape == (6,)
+  # Some terminals should occur within the rollouts (goals get reached by
+  # chance under simple rates with random-ish actions).
+  assert np.isfinite(metrics['terminal_rate']).all()
+
+  # The exported checkpoint loads and acts within the action bounds.
+  restored = eval_agent.EvalAgent.load(str(tmp_path / 'policy'))
+  import dm_env as _dm
+
+  obs = np.zeros(10, np.float32)
+  ts = _dm.restart(obs)
+  action = restored.step(ts)
+  assert action.shape == (2,)
+  assert (np.abs(action) <= 1.0).all()
+
+  # And the policy function works batched for the fast evaluator.
+  policy = restored.policy()
+  batch_obs = jax.numpy.zeros((8, 10))
+  actions = policy(None, batch_obs)
+  assert actions.shape == (8, 2)
