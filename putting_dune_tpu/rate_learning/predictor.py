@@ -291,3 +291,35 @@ class LearnedRatePredictor:
     if os.path.exists(state_path):
       with open(state_path, 'rb') as f:
         self.state = flax.serialization.from_bytes(self.state, f.read())
+
+  def export_tf(self, save_dir: str, fixed_context=None) -> None:
+    """Exports the ensemble-mean predictor as a TF SavedModel.
+
+    Optional deployment-parity path (the reference's primary export,
+    learn_rates.py:884-923); the native path is as_rate_function().
+    fixed_context, if given, is prepended to every input row.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from putting_dune_tpu.io import tf_export
+
+    if fixed_context is None:
+      input_dim = self.context_dim
+    else:
+      fixed_context = jnp.asarray(np.asarray(fixed_context, np.float32))
+      input_dim = self.context_dim - fixed_context.shape[0]
+
+    def apply_model(context):
+      if fixed_context is not None:
+        tiled = jnp.tile(fixed_context[None], (context.shape[0], 1))
+        context = jnp.concatenate([tiled, context], axis=-1)
+      out, _ = self._batch_apply(
+          self.params, self.state, context, jax.random.PRNGKey(0), False
+      )
+      return losses.predicted_rates_to_per_neighbor(out).mean(0)
+
+    tf_export.export_tf_saved_model(
+        jax.jit(apply_model), (1, input_dim), save_dir,
+        input_name='beam_position',
+    )

@@ -236,3 +236,19 @@ def test_standardize_batched_matches_host():
         np.asarray(n_dev)[0], n_host, rtol=1e-4, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(order_dev)[0], order_host)
+
+
+def test_tf_export_roundtrip(tmp_path):
+  """Optional jax2tf deployment export matches the native predictor."""
+  pytest.importorskip('tensorflow')
+  predictor = LearnedRatePredictor(
+      init_key=jax.random.PRNGKey(30), config=SMALL_CONFIG
+  )
+  x = np.ones((1, 4), np.float32)
+  native = np.asarray(predictor.apply_model(jnp.asarray(x)))
+  predictor.export_tf(str(tmp_path / 'tf_model'))
+  from putting_dune_tpu.io import tf_export
+
+  loaded = tf_export.load_tf_saved_model(str(tmp_path / 'tf_model'))
+  tf_out = np.asarray(loaded(x))
+  np.testing.assert_allclose(tf_out, native, rtol=1e-5, atol=1e-6)
