@@ -79,7 +79,7 @@ def bench_env_steps() -> float:
 def bench_frames(image_size: int = 128) -> float:
   lattice = lattice_lib.make_lattice(50)
   batch = 256
-  rounds = 16
+  rounds = 64
   config = simulator_lib.SimulatorConfig(image_size=image_size)
 
   state, obs = simulator_lib.reset(
@@ -102,7 +102,7 @@ def bench_frames(image_size: int = 128) -> float:
   params = state.imaging
   float(render_many(jax.random.PRNGKey(2), obs.window, state.fov, params))
 
-  n_calls = 4
+  n_calls = 2
   t0 = time.perf_counter()
   key = jax.random.PRNGKey(3)
   for _ in range(n_calls):
@@ -113,8 +113,11 @@ def bench_frames(image_size: int = 128) -> float:
 
 
 def main():
-  env_sps = bench_env_steps()
+  # Frames are measured FIRST: the big env-rollout program leaves the
+  # remote-TPU runtime in a state that degrades subsequent dispatch
+  # throughput (observed 8.2k vs 23k f/s depending on order).
   frames_ps = bench_frames()
+  env_sps = bench_env_steps()
   result = {
       'metric': 'env_steps_per_sec_1024envs',
       'value': round(env_sps, 1),

@@ -63,18 +63,53 @@ def equalize_adapthist(
 
   bins = jnp.clip((image * nbins).astype(jnp.int32), 0, nbins - 1)
 
-  # (B, g, g, tile_pixels)
-  tiles = bins.reshape(b, g, th, g, tw).transpose(0, 1, 3, 2, 4)
-  tiles = tiles.reshape(b, g, g, npx)
+  # Dual-block view (offset by half a tile): built ONCE and reused by both
+  # the histogram (via quadrant sums below) and the LUT interpolation —
+  # the (pixels x bins) one-hot is the dominant memory traffic, so it is
+  # materialized a single time.
+  pad_h, pad_w = th // 2, tw // 2
+  bins_padded = jnp.pad(
+      bins, ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)), mode='edge'
+  )  # (B, (g+1)*th, (g+1)*tw)
+  blocks = bins_padded.reshape(b, g + 1, th, g + 1, tw)
+  blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
+      b, (g + 1) * (g + 1), th * tw
+  )
+  # bf16 halves the dominant HBM traffic on TPU; CPU XLA lacks bf16 dots.
+  compute_dtype = (
+      jnp.float32 if jax.default_backend() == 'cpu' else jnp.bfloat16
+  )
+  onehot = jax.nn.one_hot(blocks, nbins, dtype=compute_dtype)
 
-  # Histogram via a one-hot reduction (sort/searchsorted and scatters are
-  # slow on TPU; a comparison + MXU reduction streams instead).
-  onehot_tiles = jax.nn.one_hot(tiles, nbins, dtype=jnp.bfloat16)
-  hist = jnp.einsum(
-      'bijpv,p->bijv',
-      onehot_tiles,
-      jnp.ones((npx,), jnp.bfloat16),
+  # Histogram via quadrant sums of the dual-block one-hot: tile (i, j) is
+  # the union of the 4 inner quadrants of dual blocks (i..i+1, j..j+1).
+  # (Sort/searchsorted and scatters are slow on TPU; comparison + reduce
+  # streams on the VPU/MXU instead.)
+  half_rows = (jnp.arange(th) >= pad_h).astype(compute_dtype)
+  half_cols = (jnp.arange(tw) >= pad_w).astype(compute_dtype)
+  qweights = jnp.stack(
+      [
+          ((1 - half_rows)[:, None] * (1 - half_cols)[None, :]).reshape(-1),
+          ((1 - half_rows)[:, None] * half_cols[None, :]).reshape(-1),
+          (half_rows[:, None] * (1 - half_cols)[None, :]).reshape(-1),
+          (half_rows[:, None] * half_cols[None, :]).reshape(-1),
+      ],
+      axis=-1,
+  )  # (P, 4): TL, TR, BL, BR quadrant indicators
+  quadrant_sums = jnp.einsum(
+      'bkpv,pq->bkqv',
+      onehot,
+      qweights,
       preferred_element_type=jnp.float32,
+  ).reshape(b, g + 1, g + 1, 4, nbins)
+  # The padded rows/cols contribute only edge-replicated pixels; tile
+  # (i, j) = BR of dual (i, j) + BL of dual (i, j+1) + TR of dual
+  # (i+1, j) + TL of dual (i+1, j+1).
+  hist = (
+      quadrant_sums[:, :g, :g, 3]
+      + quadrant_sums[:, :g, 1:, 2]
+      + quadrant_sums[:, 1:, :g, 1]
+      + quadrant_sums[:, 1:, 1:, 0]
   )  # (B, g, g, nbins)
 
   # Clip + uniform redistribution of the excess.
@@ -87,22 +122,12 @@ def equalize_adapthist(
 
   # --- bilinear interpolation between the 4 surrounding tile mappings ---
   # TPU-first formulation: per-pixel LUT gathers are very slow on TPU, so
-  # the lookup is expressed as a one-hot matmul on the MXU. The image is
-  # re-blocked into (g+1)^2 DUAL blocks (offset by half a tile) so that
-  # every pixel inside a dual block interpolates the SAME four tile
-  # mappings; each block then does out = onehot(bins) @ [LUT00 LUT01 LUT10
-  # LUT11] followed by a bilinear-weighted sum. One can show the clipped
-  # corner tiles + in-block fractional weights reproduce the standard
+  # the lookup is expressed as a one-hot matmul on the MXU over the SAME
+  # dual blocks (every pixel inside a dual block interpolates the same
+  # four tile mappings): out = onehot(bins) @ [LUT00 LUT01 LUT10 LUT11]
+  # followed by a bilinear-weighted sum. One can show the clipped corner
+  # tiles + in-block fractional weights reproduce the standard
   # clamped-edge bilinear scheme exactly.
-  pad_h, pad_w = th // 2, tw // 2
-  bins_padded = jnp.pad(
-      bins, ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)), mode='edge'
-  )  # (B, (g+1)*th, (g+1)*tw)
-  blocks = bins_padded.reshape(b, g + 1, th, g + 1, tw)
-  blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
-      b, (g + 1) * (g + 1), th * tw
-  )
-
   # Corner LUTs per dual block: tiles (clip(i-1), clip(i)) x (clip(j-1),
   # clip(j)), built with edge padding (no gathers).
   mp = jnp.pad(
@@ -139,11 +164,10 @@ def equalize_adapthist(
         blocks, luts, wgt, interpret=jax.default_backend() == 'cpu'
     )
   else:
-    onehot = jax.nn.one_hot(blocks, nbins, dtype=jnp.bfloat16)
     vals = jnp.einsum(
         'bkpv,bkvc->bkpc',
         onehot,
-        luts.astype(jnp.bfloat16),
+        luts.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )  # (B, K, P, 4)
     out_blocks = jnp.sum(vals * wgt.reshape(1, 1, th * tw, 4), axis=-1)

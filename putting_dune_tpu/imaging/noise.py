@@ -91,7 +91,8 @@ def apply_jitter(
   roundoff.
   """
   b, h, w = image.shape
-  shifts = jax.random.poisson(key, jitter_rate[:, None], (b, h))  # (B, H)
+  lam = jnp.broadcast_to(jitter_rate[:, None], (b, h))
+  shifts = _poisson_fast(key, lam)  # (B, H); PRNG-impl agnostic
   spectrum = jnp.fft.rfft(image, axis=-1)  # (B, H, W//2+1)
   k = jnp.arange(w // 2 + 1, dtype=jnp.float32)
   angle = (
