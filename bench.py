@@ -112,11 +112,57 @@ def bench_frames(image_size: int = 128) -> float:
   return batch * rounds * n_calls / dt
 
 
+def bench_image_env_steps() -> float:
+  """Env steps/sec with 128x128 image observations (BASELINE config 3)."""
+  lattice = lattice_lib.make_lattice(50)
+  batch = 256
+  steps = 32
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice,
+      rate_fn=rates_lib.simple_canonical_rates,
+      adapter=action_adapters.RelativeToSiliconActionAdapter(),
+      features=features_lib.ImageFeatures(image_size=128),
+      config=env_lib.EnvConfig(
+          sim=simulator_lib.SimulatorConfig(image_size=128)
+      ),
+      batch_size=batch,
+  )
+
+  @jax.jit
+  def rollout(state, ts, key):
+    def body(carry, _):
+      state, ts, key = carry
+      key, k_act, k_step = jax.random.split(key, 3)
+      action = jax.random.uniform(
+          k_act, (batch, 2), minval=-1.0, maxval=1.0
+      )
+      state, ts = env.step(state, action, k_step)
+      return (state, ts, key), ()
+
+    (state, ts, key), _ = jax.lax.scan(
+        body, (state, ts, key), None, length=steps
+    )
+    return state, ts, key, jnp.sum(ts.observation['image'][:, 0, 0, 0])
+
+  key = jax.random.PRNGKey(7)
+  state, ts = env.reset(key)
+  state, ts, key, chk = rollout(state, ts, key)
+  float(chk)
+  n_calls = 2
+  t0 = time.perf_counter()
+  for _ in range(n_calls):
+    state, ts, key, chk = rollout(state, ts, key)
+    float(chk)
+  dt = time.perf_counter() - t0
+  return batch * steps * n_calls / dt
+
+
 def main():
   # Frames are measured FIRST: the big env-rollout program leaves the
   # remote-TPU runtime in a state that degrades subsequent dispatch
   # throughput (observed 8.2k vs 23k f/s depending on order).
   frames_ps = bench_frames()
+  image_env_sps = bench_image_env_steps()
   env_sps = bench_env_steps()
   result = {
       'metric': 'env_steps_per_sec_1024envs',
@@ -124,6 +170,7 @@ def main():
       'unit': 'steps/s',
       'vs_baseline': round(env_sps / ENV_STEP_BASELINE, 4),
       'stem_frames_128_per_sec': round(frames_ps, 1),
+      'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),
   }

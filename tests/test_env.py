@@ -191,3 +191,30 @@ def test_greedy_agent_reaches_goals():
   # Prior-rate transitions with a greedy controller should reliably reach
   # goals sampled <= ~21 A away (tens of hops at most).
   assert reached.mean() >= 0.8, (reached.mean(), steps)
+
+
+def test_image_features_env_end_to_end():
+  """BASELINE config 3: image observations through the batched env."""
+  import putting_dune_tpu.simulator as sim_lib
+  from putting_dune_tpu.env import features as features_lib
+
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE,
+      rate_fn=rates_lib.simple_canonical_rates,
+      adapter=action_adapters.RelativeToSiliconActionAdapter(),
+      features=features_lib.ImageFeatures(image_size=128),
+      config=env_lib.EnvConfig(
+          sim=sim_lib.SimulatorConfig(grid_columns=20, image_size=128)
+      ),
+      batch_size=2,
+  )
+  state, ts = env.reset(jax.random.PRNGKey(20))
+  assert ts.observation['image'].shape == (2, 128, 128, 1)
+  assert ts.observation['goal_delta_angstroms'].shape == (2, 2)
+  img0 = np.asarray(ts.observation['image'])
+  assert np.isfinite(img0).all() and img0.max() <= 1.0 + 1e-5
+
+  state, ts = env.step(state, jnp.zeros((2, 2)), jax.random.PRNGKey(21))
+  assert ts.observation['image'].shape == (2, 128, 128, 1)
+  # Images vary across steps (fresh noise and possibly moved atoms).
+  assert not np.array_equal(img0, np.asarray(ts.observation['image']))
