@@ -365,6 +365,7 @@ def main(args: Args):
       LearnerType.RATE_NETWORK, LearnerType.CLASSIFICATION_NETWORK
   ):
     config = config_lib.RateLearningConfig(
+        beam_units='angstroms',  # pipeline canonicalizes raw angstroms
         batch_size=args.batch_size,
         epochs=args.epochs,
         num_models=args.num_models,

@@ -28,6 +28,15 @@ class RateLearningConfig:
   batchnorm: bool = True
   dropout_rate: float = 0.0
   num_states: int = 3
+  # Units of the canonicalized beam offset the model was TRAINED on:
+  # 'bonds' for synthetic prior data (data_utils generates positions in
+  # bond-length units), 'angstroms' for pipeline transition data
+  # (train_rate_learner canonicalizes raw angstrom offsets). The reference
+  # has a genuine inconsistency here — its predict() always divides by the
+  # bond length (learn_rates.py:941) while its pipeline trains on
+  # angstroms (train_rate_learner.py:444-452), which mis-normalizes
+  # BatchNorm inputs at inference; recording the unit fixes it.
+  beam_units: str = 'bonds'
 
 
 @dataclasses.dataclass(frozen=True)

@@ -112,9 +112,9 @@ class LearnedRatePredictor:
     rel_neighbors = np.asarray(neighbor_positions) - np.asarray(
         silicon_position
     )
-    rel_beam = (
-        np.asarray(beam_position) - np.asarray(silicon_position)
-    ) / constants.CARBON_BOND_DISTANCE_ANGSTROMS
+    rel_beam = np.asarray(beam_position) - np.asarray(silicon_position)
+    if self.config.beam_units == 'bonds':
+      rel_beam = rel_beam / constants.CARBON_BOND_DISTANCE_ANGSTROMS
     new_beam, _, order = data_utils.standardize_beam_and_neighbors(
         rel_beam, rel_neighbors
     )
@@ -145,14 +145,17 @@ class LearnedRatePredictor:
     apply_fn = self.apply_fn
     use_voltage = self.config.use_voltage
     use_current = self.config.use_current
+    beam_scale = (
+        1.0 / constants.CARBON_BOND_DISTANCE_ANGSTROMS
+        if self.config.beam_units == 'bonds'
+        else 1.0
+    )
     fixed_key = jax.random.PRNGKey(0)
 
     def rate_fn(si_pos, neighbor_pos, beam_pos):
       batch = si_pos.shape[0]
       rel_neighbors = neighbor_pos - si_pos[:, None, :]
-      rel_beam = (
-          beam_pos - si_pos
-      ) / constants.CARBON_BOND_DISTANCE_ANGSTROMS
+      rel_beam = (beam_pos - si_pos) * beam_scale
       new_beam, _, order = data_utils.standardize_batched(
           rel_beam, rel_neighbors
       )
