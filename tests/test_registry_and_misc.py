@@ -1,0 +1,81 @@
+"""Registry parity, GMM-in-simulator, dm_env wrapper render."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu import structures
+from putting_dune_tpu.experiments import registry
+
+
+def test_registry_names_match_reference():
+  # Same names as reference registry.py:262-468.
+  microscope = set(registry.microscope_experiment_names())
+  for name in [
+      'relative_random', 'relative_random_long',
+      'relative_random_extra_long', 'greedy_on_neighbor',
+      'greedy_short_of_neighbor', 'greedy_on_neighbor_offset_horizontally',
+      'greedy_from_learned_rates_v3', 'greedy_from_learned_rates_v5',
+      'ppo_simple_images_tf', 'ppo_learned_tf_2s', 'ppo_learned_tf_3s',
+      'ppo_learned_tf_4s', 'ppo_v3_2s', 'ppo_v3_3s', 'ppo_v3_4s',
+  ]:
+    assert name in microscope, name
+  train = set(registry.train_experiment_names())
+  for name in [
+      'relative_simple_rates', 'relative_prior_rates',
+      'relative_simple_rates_from_images',
+      'relative_simple_rates_from_images_variable_time',
+      'direct_simple_rates_from_images',
+  ]:
+    assert name in train, name
+  eval_names = set(registry.eval_experiment_names())
+  for name in [
+      'relative_random_simple', 'relative_random_prior_rates',
+      'ppo_simple_images_tf',
+  ]:
+    assert name in eval_names, name
+
+
+def test_register_eval_experiment():
+  experiment = registry.create_eval_experiment('relative_random_simple')
+  registry.register_eval_experiment('custom_test_exp', experiment)
+  assert 'custom_test_exp' in registry.eval_experiment_names()
+  # Does not overwrite existing entries (reference :471-478).
+  registry.register_eval_experiment('relative_random_simple', None)
+  assert (
+      registry.create_eval_experiment('relative_random_simple') is not None
+  )
+
+
+def test_gmm_rate_function_drives_simulator():
+  rng = np.random.default_rng(5)
+  gmm = rates_lib.GaussianMixtureRateFunction.sample_new(rng)
+  lattice = lattice_lib.make_lattice(20)
+  config = simulator_lib.SimulatorConfig(grid_columns=20)
+  state, _ = simulator_lib.reset(
+      jax.random.PRNGKey(0), lattice, config=config, batch_size=4
+  )
+  control = structures.BeamControl(
+      position=jnp.full((4, 2), 0.5), dwell_seconds=jnp.full((4,), 2.0)
+  )
+  state, obs, result = simulator_lib.step(
+      state, jax.random.PRNGKey(1), control, lattice, gmm, config=config
+  )
+  assert np.isfinite(np.asarray(result.num_transitions)).all()
+  assert np.asarray(obs.silicon_in_view).all()
+
+
+def test_dm_env_wrapper_render():
+  from putting_dune_tpu import test_utils
+  from putting_dune_tpu.env import dm_env_wrapper
+
+  env = dm_env_wrapper.DmEnvWrapper(
+      test_utils.create_simple_environment(batch_size=1), seed=0
+  )
+  env.reset()
+  frame = env.render()
+  assert frame.ndim == 3 and frame.shape[-1] == 3
+  assert frame.dtype == np.uint8
