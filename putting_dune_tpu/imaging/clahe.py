@@ -83,33 +83,21 @@ def equalize_adapthist(
 
   # Histogram via quadrant sums of the dual-block one-hot: tile (i, j) is
   # the union of the 4 inner quadrants of dual blocks (i..i+1, j..j+1).
-  # (Sort/searchsorted and scatters are slow on TPU; comparison + reduce
-  # streams on the VPU/MXU instead.)
-  half_rows = (jnp.arange(th) >= pad_h).astype(compute_dtype)
-  half_cols = (jnp.arange(tw) >= pad_w).astype(compute_dtype)
-  qweights = jnp.stack(
-      [
-          ((1 - half_rows)[:, None] * (1 - half_cols)[None, :]).reshape(-1),
-          ((1 - half_rows)[:, None] * half_cols[None, :]).reshape(-1),
-          (half_rows[:, None] * (1 - half_cols)[None, :]).reshape(-1),
-          (half_rows[:, None] * half_cols[None, :]).reshape(-1),
-      ],
-      axis=-1,
-  )  # (P, 4): TL, TR, BL, BR quadrant indicators
-  quadrant_sums = jnp.einsum(
-      'bkpv,pq->bkqv',
-      onehot,
-      qweights,
-      preferred_element_type=jnp.float32,
-  ).reshape(b, g + 1, g + 1, 4, nbins)
+  # Quadrants are contiguous half-row/half-col slabs, so their sums are
+  # plain streaming reductions (no scatter, no padded matmul).
+  oh6 = onehot.reshape(b, g + 1, g + 1, th, tw, nbins)
+  oh_q = oh6.reshape(
+      b, g + 1, g + 1, 2, th // 2, 2, tw // 2, nbins
+  ).sum(axis=(4, 6)).astype(jnp.float32)  # (B, g+1, g+1, 2, 2, V)
+  # Quadrant index [r, c]: r=0 top rows, r=1 bottom rows (likewise cols).
   # The padded rows/cols contribute only edge-replicated pixels; tile
   # (i, j) = BR of dual (i, j) + BL of dual (i, j+1) + TR of dual
   # (i+1, j) + TL of dual (i+1, j+1).
   hist = (
-      quadrant_sums[:, :g, :g, 3]
-      + quadrant_sums[:, :g, 1:, 2]
-      + quadrant_sums[:, 1:, :g, 1]
-      + quadrant_sums[:, 1:, 1:, 0]
+      oh_q[:, :g, :g, 1, 1]
+      + oh_q[:, :g, 1:, 1, 0]
+      + oh_q[:, 1:, :g, 0, 1]
+      + oh_q[:, 1:, 1:, 0, 0]
   )  # (B, g, g, nbins)
 
   # Clip + uniform redistribution of the excess.
@@ -164,13 +152,15 @@ def equalize_adapthist(
         blocks, luts, wgt, interpret=jax.default_backend() == 'cpu'
     )
   else:
+    # Contract with the 4-wide corner dim on the MXU's sublane axis (pads
+    # 4 -> 8) rather than the lane axis (4 -> 128): ~4x faster here.
     vals = jnp.einsum(
-        'bkpv,bkvc->bkpc',
-        onehot,
+        'bkvc,bkpv->bkcp',
         luts.astype(compute_dtype),
+        onehot,
         preferred_element_type=jnp.float32,
-    )  # (B, K, P, 4)
-    out_blocks = jnp.sum(vals * wgt.reshape(1, 1, th * tw, 4), axis=-1)
+    )  # (B, K, 4, P)
+    out_blocks = jnp.einsum('bkcp,pc->bkp', vals, wgt)
 
   out_padded = (
       out_blocks.reshape(b, g + 1, g + 1, th, tw)
