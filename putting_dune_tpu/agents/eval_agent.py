@@ -3,15 +3,19 @@
 Replaces the reference TfEvalAgent (/root/reference/putting_dune/agents/
 tf_eval_agent.py:23-32), which wraps a TF SavedModel. Here a policy is a
 flax module + msgpack'd params saved by EvalAgent.save(); step() runs the
-jitted policy on the observation. Works for vector observations and for
-{image, goal_delta} dict observations.
+jitted policy on the observation. Three checkpoint kinds:
+
+  * 'mlp': vector-observation tanh tower (matches the PPO actor layout);
+  * 'conv': dict-observation conv policy;
+  * 'actor_critic': full PPO ActorCritic params, mean head at inference
+    (used for image policies trained by agents/ppo.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 import flax.linen as nn
 import flax.serialization
@@ -56,10 +60,38 @@ class ConvPolicy(nn.Module):
     return nn.tanh(nn.Dense(self.action_dim)(x))
 
 
+class _ActorCriticPolicy:
+  """Adapter exposing only the deterministic mean of a PPO ActorCritic."""
+
+  def __init__(self, hidden, conv_features, action_dim, image_size=128):
+    from putting_dune_tpu.agents import ppo  # lazy: avoid import cycle
+
+    self.hidden = tuple(hidden)
+    self.conv_features = tuple(conv_features)
+    self.action_dim = action_dim
+    self.image_size = image_size
+    self._module = ppo.ActorCritic(
+        action_dim=action_dim,
+        hidden=self.hidden,
+        conv_features=self.conv_features,
+    )
+
+  def apply(self, variables, obs):
+    mean, _, _ = self._module.apply(variables, obs)
+    return mean
+
+  def init_template(self):
+    dummy = {
+        'image': jnp.zeros((1, self.image_size, self.image_size, 1)),
+        'goal_delta_angstroms': jnp.zeros((1, 2)),
+    }
+    return self._module.init(jax.random.PRNGKey(0), dummy)['params']
+
+
 class EvalAgent(agent_lib.Agent):
   """Applies a frozen policy to observations."""
 
-  def __init__(self, module: nn.Module, params: Any):
+  def __init__(self, module, params: Any):
     self._module = module
     self._params = params
     self._apply = jax.jit(
@@ -86,27 +118,51 @@ class EvalAgent(agent_lib.Agent):
 
     return policy_fn
 
+  @classmethod
+  def from_actor_critic(
+      cls, params, *, hidden, conv_features, action_dim, image_size=128
+  ) -> 'EvalAgent':
+    """Wraps full PPO actor-critic params (image policies)."""
+    return cls(
+        _ActorCriticPolicy(hidden, conv_features, action_dim, image_size),
+        params,
+    )
+
   # -- persistence ------------------------------------------------------------
 
   def save(self, save_dir: str) -> None:
     os.makedirs(save_dir, exist_ok=True)
     if isinstance(self._module, MLPPolicy):
-      kind = 'mlp'
-      arch = {
-          'hidden': list(self._module.hidden),
-          'action_dim': self._module.action_dim,
+      meta = {
+          'kind': 'mlp',
+          'arch': {
+              'hidden': list(self._module.hidden),
+              'action_dim': self._module.action_dim,
+          },
       }
     elif isinstance(self._module, ConvPolicy):
-      kind = 'conv'
-      arch = {
-          'hidden': list(self._module.hidden),
-          'action_dim': self._module.action_dim,
-          'features': list(self._module.features),
+      meta = {
+          'kind': 'conv',
+          'arch': {
+              'hidden': list(self._module.hidden),
+              'action_dim': self._module.action_dim,
+              'features': list(self._module.features),
+          },
+      }
+    elif isinstance(self._module, _ActorCriticPolicy):
+      meta = {
+          'kind': 'actor_critic',
+          'arch': {
+              'hidden': list(self._module.hidden),
+              'conv_features': list(self._module.conv_features),
+              'action_dim': self._module.action_dim,
+              'image_size': self._module.image_size,
+          },
       }
     else:
       raise ValueError(f'Unsupported module {type(self._module)}')
     with open(os.path.join(save_dir, 'policy.json'), 'w') as f:
-      json.dump({'kind': kind, 'arch': arch}, f)
+      json.dump(meta, f)
     with open(os.path.join(save_dir, 'policy.ckpt'), 'wb') as f:
       f.write(flax.serialization.to_bytes(self._params))
 
@@ -119,8 +175,10 @@ class EvalAgent(agent_lib.Agent):
       module = MLPPolicy(
           hidden=tuple(arch['hidden']), action_dim=arch['action_dim']
       )
-      dummy = jnp.zeros((1, 10))
-    else:
+      template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))[
+          'params'
+      ]
+    elif meta['kind'] == 'conv':
       module = ConvPolicy(
           hidden=tuple(arch['hidden']),
           action_dim=arch['action_dim'],
@@ -130,7 +188,17 @@ class EvalAgent(agent_lib.Agent):
           'image': jnp.zeros((1, 128, 128, 1)),
           'goal_delta_angstroms': jnp.zeros((1, 2)),
       }
-    template = module.init(jax.random.PRNGKey(0), dummy)['params']
+      template = module.init(jax.random.PRNGKey(0), dummy)['params']
+    elif meta['kind'] == 'actor_critic':
+      module = _ActorCriticPolicy(
+          arch['hidden'],
+          arch['conv_features'],
+          arch['action_dim'],
+          arch.get('image_size', 128),
+      )
+      template = module.init_template()
+    else:
+      raise ValueError(f"Unknown policy kind {meta['kind']}")
     with open(os.path.join(load_dir, 'policy.ckpt'), 'rb') as f:
       params = flax.serialization.from_bytes(template, f.read())
     return cls(module, params)

@@ -24,14 +24,29 @@ from putting_dune_tpu.env import env as env_lib
 
 
 class ActorCritic(nn.Module):
-  """Gaussian policy + value head over vector observations."""
+  """Gaussian policy + value head over vector or image-dict observations.
+
+  Vector obs: (B, D) array -> tanh MLP tower. Image obs: the env's
+  {'image': (B, H, W, 1), 'goal_delta_angstroms': (B, 2)} dict -> strided
+  conv encoder concatenated with the goal delta (the natural counterpart
+  of the reference's ppo_simple_images agents).
+  """
 
   action_dim: int = 2
   hidden: Tuple[int, ...] = (256, 256)
+  conv_features: Tuple[int, ...] = (16, 32, 64)
 
   @nn.compact
-  def __call__(self, obs: jnp.ndarray):
-    x = obs
+  def __call__(self, obs):
+    if isinstance(obs, dict):
+      x = obs['image']
+      for f in self.conv_features:
+        x = nn.Conv(f, (3, 3), strides=(2, 2), name=f'conv_{f}')(x)
+        x = nn.relu(x)
+      x = x.reshape((x.shape[0], -1))
+      x = jnp.concatenate([x, obs['goal_delta_angstroms']], axis=-1)
+    else:
+      x = obs
     for width in self.hidden:
       x = nn.tanh(nn.Dense(width)(x))
     mean = nn.tanh(nn.Dense(self.action_dim, name='policy_mean')(x))
@@ -56,6 +71,7 @@ class PPOConfig:
   num_minibatches: int = 8
   max_grad_norm: float = 0.5
   hidden: Tuple[int, ...] = (256, 256)
+  conv_features: Tuple[int, ...] = (16, 32, 64)
 
 
 def _gaussian_logprob(mean, log_std, action):
@@ -79,7 +95,11 @@ def make_train(
   updates — is ONE jitted lax.scan program.
   """
   action_dim = env.action_spec().shape[0]
-  module = ActorCritic(action_dim=action_dim, hidden=config.hidden)
+  module = ActorCritic(
+      action_dim=action_dim,
+      hidden=config.hidden,
+      conv_features=config.conv_features,
+  )
   batch = env.batch_size
 
   optimizer = optax.chain(
@@ -89,8 +109,14 @@ def make_train(
 
   def train(key: jax.Array):
     key, k_init, k_reset = jax.random.split(key, 3)
-    obs_dim = env.observation_spec().shape[0]
-    params = module.init(k_init, jnp.zeros((1, obs_dim)))['params']
+    spec = env.observation_spec()
+    if isinstance(spec, dict):
+      dummy = {
+          k: jnp.zeros((1,) + tuple(v.shape)) for k, v in spec.items()
+      }
+    else:
+      dummy = jnp.zeros((1,) + tuple(spec.shape))
+    params = module.init(k_init, dummy)['params']
     opt_state = optimizer.init(params)
     env_state, ts = env.reset(k_reset)
 
@@ -242,16 +268,29 @@ def train_and_save(
   params, metrics = train(jax.random.PRNGKey(seed))
   params = jax.device_get(params)
 
-  policy_module = eval_agent.MLPPolicy(
-      hidden=config.hidden, action_dim=env.action_spec().shape[0]
-  )
-  # Transfer the actor tower + mean head into the eval policy layout:
-  # MLPPolicy layers Dense_0..N then final Dense; ActorCritic shares names
-  # Dense_0..N for the tower and 'policy_mean' for the head.
-  policy_params = {}
-  for i in range(len(config.hidden)):
-    policy_params[f'Dense_{i}'] = params[f'Dense_{i}']
-  policy_params[f'Dense_{len(config.hidden)}'] = params['policy_mean']
-  agent = eval_agent.EvalAgent(policy_module, policy_params)
+  action_dim = env.action_spec().shape[0]
+  spec = env.observation_spec()
+  if isinstance(spec, dict):
+    # Image policies keep the full actor-critic module (mean head used at
+    # inference); saved as an 'actor_critic' checkpoint.
+    agent = eval_agent.EvalAgent.from_actor_critic(
+        params,
+        hidden=config.hidden,
+        conv_features=config.conv_features,
+        action_dim=action_dim,
+        image_size=spec['image'].shape[0],
+    )
+  else:
+    policy_module = eval_agent.MLPPolicy(
+        hidden=config.hidden, action_dim=action_dim
+    )
+    # Transfer the actor tower + mean head into the eval policy layout:
+    # MLPPolicy layers Dense_0..N then final Dense; ActorCritic shares
+    # names Dense_0..N for the tower and 'policy_mean' for the head.
+    policy_params = {}
+    for i in range(len(config.hidden)):
+      policy_params[f'Dense_{i}'] = params[f'Dense_{i}']
+    policy_params[f'Dense_{len(config.hidden)}'] = params['policy_mean']
+    agent = eval_agent.EvalAgent(policy_module, policy_params)
   agent.save(save_dir)
   return agent, jax.device_get(metrics)

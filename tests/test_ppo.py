@@ -43,3 +43,46 @@ def test_ppo_trains_and_exports(tmp_path):
   batch_obs = jax.numpy.zeros((8, 10))
   actions = policy(None, batch_obs)
   assert actions.shape == (8, 2)
+
+
+def test_ppo_from_pixels(tmp_path):
+  """Image-observation PPO: trains, exports, reloads (64x64 images)."""
+  import jax.numpy as jnp
+  import putting_dune_tpu.simulator as sim_lib
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu import rates as rates_lib
+  from putting_dune_tpu.env import action_adapters, env as env_lib
+  from putting_dune_tpu.env import features as features_lib
+
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(20),
+      rate_fn=rates_lib.simple_canonical_rates,
+      adapter=action_adapters.RelativeToSiliconActionAdapter(),
+      features=features_lib.ImageFeatures(image_size=64),
+      config=env_lib.EnvConfig(
+          sim=sim_lib.SimulatorConfig(grid_columns=20, image_size=64)
+      ),
+      batch_size=8,
+  )
+  config = ppo.PPOConfig(
+      num_updates=2,
+      rollout_length=8,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(32,),
+      conv_features=(4, 8),
+  )
+  agent, metrics = ppo.train_and_save(
+      env, str(tmp_path / 'pixel_policy'), config=config, seed=0
+  )
+  assert np.isfinite(metrics['loss']).all()
+
+  restored = eval_agent.EvalAgent.load(str(tmp_path / 'pixel_policy'))
+  policy = restored.policy()
+  obs = {
+      'image': jnp.zeros((4, 64, 64, 1)),
+      'goal_delta_angstroms': jnp.zeros((4, 2)),
+  }
+  actions = policy(None, obs)
+  assert actions.shape == (4, 2)
+  assert (np.abs(np.asarray(actions)) <= 1.0).all()
