@@ -45,11 +45,14 @@ def equalize_adapthist(
     clip_limit: histogram clip fraction (of tile pixel count).
     grid_size: tiles per side.
     nbins: gray-level bins.
-    backend: 'xla' (one-hot matmul through HBM; default via 'auto' — on a
-      v5e it runs the 256-frame batch in ~7.6 ms) or 'pallas'
-      (ops/clahe_pallas.py, VMEM-resident kernel; correct but currently
-      slower because the (P, V) x (V, 4) matmuls pad N=4 to the MXU width
-      — kept as an alternative backend and a tuning target).
+    backend: 'pallas_fused' (ops/clahe_fused_pallas.py, fully-fused
+      VMEM-resident kernel: histograms + clip + cdf + LUT interpolation in
+      one pallas_call, HBM traffic = bins in / pixels out; ~4.9 ms for a
+      256-frame 128x128 batch on a v5e vs ~8.2 ms for 'xla'), 'xla'
+      (one-hot matmul through HBM), or 'pallas' (ops/clahe_pallas.py,
+      non-fused LUT-interp kernel; correct but slower — kept as a tuning
+      baseline). 'auto' picks 'pallas_fused' on TPU when the one-hot cache
+      fits VMEM, else 'xla'; on CPU always 'xla' (interpret mode is slow).
 
   Returns:
     (B, H, W) float32 in [0, 1].
@@ -75,6 +78,46 @@ def equalize_adapthist(
   blocks = blocks.transpose(0, 1, 3, 2, 4).reshape(
       b, (g + 1) * (g + 1), th * tw
   )
+
+  # In-block fractional weights: fy = (row_in_block + 0.5) / th.
+  fy = ((jnp.arange(th, dtype=jnp.float32) + 0.5) / th)[:, None]
+  fx = ((jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw)[None, :]
+  wgt = jnp.stack(
+      [
+          (1 - fy) * (1 - fx),
+          (1 - fy) * fx,
+          fy * (1 - fx),
+          fy * fx,
+      ],
+      axis=-1,
+  ).reshape(th * tw, 4)
+
+  # Fully-fused kernel shortcut: everything below (one-hot, histograms,
+  # clip/cdf, LUT matmul) happens inside one pallas_call in VMEM.
+  on_cpu = jax.default_backend() == 'cpu'
+  fused_cache_bytes = (g + 1) * (g + 1) * npx * nbins * 2  # bf16 one-hots
+  if backend == 'pallas_fused' or (
+      backend == 'auto' and not on_cpu and fused_cache_bytes <= 11 * 2**20
+  ):
+    from putting_dune_tpu.ops import clahe_fused_pallas
+
+    out_blocks = clahe_fused_pallas.clahe_fused(
+        blocks,
+        wgt,
+        g=g,
+        th=th,
+        tw=tw,
+        nbins=nbins,
+        clip_limit=clip_limit,
+        interpret=on_cpu,
+    )
+    out_padded = (
+        out_blocks.reshape(b, g + 1, g + 1, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, (g + 1) * th, (g + 1) * tw)
+    )
+    return out_padded[:, pad_h:pad_h + h, pad_w:pad_w + w]
+
   # bf16 halves the dominant HBM traffic on TPU; CPU XLA lacks bf16 dots.
   compute_dtype = (
       jnp.float32 if jax.default_backend() == 'cpu' else jnp.bfloat16
@@ -131,19 +174,6 @@ def equalize_adapthist(
       axis=-1,
   )  # (B, g+1, g+1, V, 4)
   luts = corners.reshape(b, (g + 1) * (g + 1), nbins, 4)
-
-  # In-block fractional weights: fy = (row_in_block + 0.5) / th.
-  fy = ((jnp.arange(th, dtype=jnp.float32) + 0.5) / th)[:, None]
-  fx = ((jnp.arange(tw, dtype=jnp.float32) + 0.5) / tw)[None, :]
-  wgt = jnp.stack(
-      [
-          (1 - fy) * (1 - fx),
-          (1 - fy) * fx,
-          fy * (1 - fx),
-          fy * fx,
-      ],
-      axis=-1,
-  ).reshape(th * tw, 4)
 
   if backend == 'pallas':
     from putting_dune_tpu.ops import clahe_pallas

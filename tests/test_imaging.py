@@ -162,6 +162,19 @@ def test_clahe_improves_contrast_and_stays_in_range():
   assert corr > 0.9
 
 
+def test_clahe_backends_agree():
+  """The fused pallas kernel (interpret mode on CPU) matches the XLA path."""
+  key = jax.random.PRNGKey(21)
+  img = jax.random.uniform(key, (2, 64, 64))
+  ref = np.asarray(clahe_lib.equalize_adapthist(img, backend='xla'))
+  fused = np.asarray(
+      clahe_lib.equalize_adapthist(img, backend='pallas_fused')
+  )
+  # Tolerance = bf16 LUT-matmul quantization (both paths use bf16 on TPU;
+  # the fused kernel uses bf16 everywhere).
+  assert np.abs(fused - ref).max() < 4e-3
+
+
 def test_resize_bilinear_shape():
   img = jnp.ones((3, 512, 512))
   out = render_lib.resize_bilinear(img, 128)
