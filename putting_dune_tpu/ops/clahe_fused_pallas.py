@@ -26,9 +26,8 @@ def _kernel(
     blocks_ref,  # (1, G1*G1, P) int32 dual-block pixel bins
     wgt_ref,  # (P, 4) f32 bilinear weights
     out_ref,  # (1, G1*G1, P) f32
-    hist_ref,  # scratch (G*G, V) f32 per-tile histograms
-    luts_ref,  # scratch (4, V) f32 corner LUTs of the current block
-    oh_ref,  # scratch (G1*G1, P, V) bf16 cached per-block one-hots
+    q_ref,  # scratch (G1*G1, 2, 2, V) f32 per-block quadrant histograms
+    oh_ref,  # scratch (G1*G1, P, V) int8 cached per-block one-hots
     *,
     g: int,
     th: int,
@@ -36,59 +35,49 @@ def _kernel(
     nbins: int,
     clip_limit: float,
 ):
+  """Three phases per image, all in VMEM.
+
+  The one-hot compare is the dominant VPU cost, so it runs ONCE per block:
+  phase 1 builds it block-by-block (small temps), caches it as int8 (half
+  the VMEM of bf16), and phase 3 re-reads the cache in 27-block slices for
+  batched MXU dots. One-hot counting is exact in bf16/int8 (0/1 values,
+  quadrant counts are small integers).
+  """
   g1 = g + 1
+  k = g1 * g1
   p = th * tw
   npx = float(th * tw)
 
+  # Slice size over the block axis (phase 3): a divisor of K.
+  slc = 27 if k % 27 == 0 else g1  # divisor of K = g1*g1
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
-  # Quadrant masks over the in-block pixel axis (row-major th x tw), as a
-  # (4, P) matrix so the per-quadrant histogram sums ride the MXU. bf16 is
-  # exact here: masks are 0/1 and quadrant counts are small integers.
-  row_ids = jax.lax.broadcasted_iota(jnp.int32, (4, p), 1) // tw
-  col_ids = jax.lax.broadcasted_iota(jnp.int32, (4, p), 1) % tw
-  quad_id = jax.lax.broadcasted_iota(jnp.int32, (4, p), 0)
-  top = row_ids < th // 2
-  left = col_ids < tw // 2
-  # Rows: 0=TL, 1=TR, 2=BL, 3=BR.
-  want_top = quad_id < 2
-  want_left = (quad_id % 2) == 0
-  quad_masks = jnp.logical_and(
-      top == want_top, left == want_left
-  ).astype(jnp.bfloat16)
 
-  # ---- phase 1: per-tile histograms from dual-block quadrant sums ----
-  hist_ref[:, :] = jnp.zeros((g * g, nbins), jnp.float32)
+  # ---- phase 1: per-block quadrant histograms via slab sums ----
+  # Quadrants are contiguous half-row/half-col slabs of the row-major
+  # (th, tw) block, so their sums are plain reductions over non-minor axes.
+  # One block at a time: the (P, V) compare temp is 131 KB, leaving VMEM
+  # for the full one-hot cache.
+  for a in range(k):
+    oh = (blocks_ref[0, a, :][:, None] == bin_iota).astype(jnp.int8)
+    oh_ref[a, :, :] = oh
+    q_ref[a] = jnp.sum(
+        oh.astype(jnp.bfloat16).reshape(2, th // 2, 2, tw // 2, nbins),
+        axis=(1, 3),
+        dtype=jnp.float32,
+    )  # (2, 2, V); [r, c]: r=0 top rows, r=1 bottom rows.
 
-  # Unrolled at trace time: k is static, so the border conditions and tile
-  # indices are static (no dynamic control flow / dynamic scatter).
-  for k in range(g1 * g1):
-    i, j = divmod(k, g1)
-    onehot = (blocks_ref[0, k, :][:, None] == bin_iota).astype(jnp.bfloat16)
-    oh_ref[k, :, :] = onehot  # cached for the interpolation phase
-    qsum = jax.lax.dot_general(
-        quad_masks, onehot,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (4, V): rows TL, TR, BL, BR
-    # Tile (ti, tj) = BR(ti, tj) + BL(ti, tj+1) + TR(ti+1, tj)
-    # + TL(ti+1, tj+1)  [dual-block indices]. Invert: this block (i, j)
-    # contributes BR -> tile (i, j), BL -> tile (i, j-1),
-    # TR -> tile (i-1, j), TL -> tile (i-1, j-1), borders dropped.
-    if i < g and j < g:
-      t = i * g + j
-      hist_ref[t, :] = hist_ref[t, :] + qsum[3, :]
-    if i < g and j >= 1:
-      t = i * g + (j - 1)
-      hist_ref[t, :] = hist_ref[t, :] + qsum[2, :]
-    if i >= 1 and j < g:
-      t = (i - 1) * g + j
-      hist_ref[t, :] = hist_ref[t, :] + qsum[1, :]
-    if i >= 1 and j >= 1:
-      t = (i - 1) * g + (j - 1)
-      hist_ref[t, :] = hist_ref[t, :] + qsum[0, :]
+  q = q_ref[:, :, :, :].reshape(g1, g1, 2, 2, nbins)
+  # Tile (ti, tj) = BR of dual (ti, tj) + BL of dual (ti, tj+1)
+  # + TR of dual (ti+1, tj) + TL of dual (ti+1, tj+1).
+  hist = (
+      q[:g, :g, 1, 1]
+      + q[:g, 1:, 1, 0]
+      + q[1:, :g, 0, 1]
+      + q[1:, 1:, 0, 0]
+  )  # (g, g, V)
 
-  # ---- phase 2: clip + redistribute + cdf -> mapping in-place ----
-  hist = hist_ref[:, :]
+  # ---- phase 2: clip + redistribute + cdf ----
+  hist = hist.reshape(g * g, nbins)
   clim = max(clip_limit * npx, 1.0)
   excess = jnp.sum(jnp.maximum(hist - clim, 0.0), axis=-1, keepdims=True)
   hist = jnp.minimum(hist, clim) + excess / nbins
@@ -103,28 +92,33 @@ def _kernel(
       dimension_numbers=(((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32,
   )
-  hist_ref[:, :] = cdf / cdf[:, -1:]
+  mapping = (cdf / cdf[:, -1:]).reshape(g, g, nbins)
 
-  # ---- phase 3: per-block corner-LUT interpolation (static unroll) ----
+  # ---- phase 3: corner-LUT interpolation, batched over blocks ----
+  # Corner LUTs per dual block (i, j): tiles (clip(i-1), clip(i)) x
+  # (clip(j-1), clip(j)), built by edge replication (static slices).
+  mpr = jnp.concatenate([mapping[:1], mapping, mapping[-1:]], axis=0)
+  mpc = jnp.concatenate([mpr[:, :1], mpr, mpr[:, -1:]], axis=1)
+  # (g+2, g+2, V)
+  luts = jnp.stack(
+      [
+          mpc[0:g1, 0:g1],  # (i-1, j-1)
+          mpc[0:g1, 1:g1 + 1],  # (i-1, j)
+          mpc[1:g1 + 1, 0:g1],  # (i,   j-1)
+          mpc[1:g1 + 1, 1:g1 + 1],  # (i,   j)
+      ],
+      axis=2,
+  ).reshape(k, 4, nbins).astype(jnp.bfloat16)
+
   wgt_t = wgt_ref[:, :].T  # (4, P)
-  for k in range(g1 * g1):
-    i, j = divmod(k, g1)
-    ci0 = min(max(i - 1, 0), g - 1)
-    ci1 = min(max(i, 0), g - 1)
-    cj0 = min(max(j - 1, 0), g - 1)
-    cj1 = min(max(j, 0), g - 1)
-    luts_ref[0, :] = hist_ref[ci0 * g + cj0, :]
-    luts_ref[1, :] = hist_ref[ci0 * g + cj1, :]
-    luts_ref[2, :] = hist_ref[ci1 * g + cj0, :]
-    luts_ref[3, :] = hist_ref[ci1 * g + cj1, :]
-
+  for a in range(0, k, slc):
     vals = jax.lax.dot_general(
-        luts_ref[:, :].astype(jnp.bfloat16),
-        oh_ref[k, :, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        luts[a:a + slc],
+        oh_ref[a:a + slc].astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (4, P)
-    out_ref[0, k, :] = jnp.sum(vals * wgt_t, axis=0)
+    )  # (slc, 4, P)
+    out_ref[0, a:a + slc, :] = jnp.sum(vals * wgt_t[None, :, :], axis=1)
 
 
 @functools.partial(
@@ -147,21 +141,26 @@ def clahe_fused(
   kernel = functools.partial(
       _kernel, g=g, th=th, tw=tw, nbins=nbins, clip_limit=clip_limit
   )
-  return pl.pallas_call(
-      kernel,
-      grid=(b,),
-      in_specs=[
-          pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-      ],
-      out_specs=pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b, k, p), jnp.float32),
-      scratch_shapes=[
-          pltpu.VMEM((g * g, nbins), jnp.float32),
-          pltpu.VMEM((4, nbins), jnp.float32),
-          pltpu.VMEM((k, p, nbins), jnp.bfloat16),
-      ],
-      interpret=interpret,
-  )(blocks, weights)
+
+  def call(x):
+    c = x.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, k, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((k, 2, 2, nbins), jnp.float32),
+            pltpu.VMEM((k, p, nbins), jnp.int8),
+        ],
+        interpret=interpret,
+    )(x, weights)
+
+  return call(blocks)
