@@ -3,13 +3,14 @@
 The XLA formulation (imaging/clahe.py) is HBM-traffic-bound: the
 (pixels x bins) one-hot is materialized (~1 GB per 256-frame batch) and
 read twice. This kernel keeps everything per-image in VMEM: per dual
-block it builds the one-hot once in registers/VMEM, accumulates the
-quadrant histogram contributions, then (after clip + cdf) multiplies the
-same-shape comparison matrix against the 4 corner LUTs on the MXU. HBM
-traffic is bins in + pixels out.
+block it builds a one-hot once for the quadrant histogram sums, computes
+clip + cdf with a triangular matmul, and remaps pixels through the four
+corner LUTs with native lane gathers (Mosaic lowers take_along_axis when
+the gather dimension fits one 128-lane vreg, so each LUT is gathered in
+128-bin segments + select). HBM traffic is bins in + pixels out.
 
-Semantics identical to imaging.clahe.equalize_adapthist (exact: both
-compute f32 histograms; the LUT matmul is bf16 like the XLA path).
+Semantics identical to imaging.clahe.equalize_adapthist; the LUT lookup
+here is exact f32 (the XLA path quantizes the LUT matmul to bf16 on TPU).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ def _kernel(
     wgt_ref,  # (P, 4) f32 bilinear weights
     out_ref,  # (1, G1*G1, P) f32
     q_ref,  # scratch (G1*G1, 2, 2, V) f32 per-block quadrant histograms
-    oh_ref,  # scratch (G1*G1, P, V) int8 cached per-block one-hots
+    luts_ref,  # scratch (4, G1*G1, V) f32 corner LUTs, corner-major
     *,
     g: int,
     th: int,
@@ -37,34 +38,36 @@ def _kernel(
 ):
   """Three phases per image, all in VMEM.
 
-  The one-hot compare is the dominant VPU cost, so it runs ONCE per block:
-  phase 1 builds it block-by-block (small temps), caches it as int8 (half
-  the VMEM of bf16), and phase 3 re-reads the cache in 27-block slices for
-  batched MXU dots. One-hot counting is exact in bf16/int8 (0/1 values,
-  quadrant counts are small integers).
+  Phase 1 builds a per-block one-hot (the dominant VPU cost) for the
+  quadrant histogram slab sums; phase 2 clips/redistributes and computes
+  the cdf with a lower-triangular matmul (Mosaic has no cumsum); phase 3
+  remaps every pixel through its block's 4 corner LUTs with 128-lane
+  take_along_axis gathers — no one-hot cache, no MXU dots.
   """
   g1 = g + 1
   k = g1 * g1
   p = th * tw
   npx = float(th * tw)
 
-  # Slice size over the block axis (phase 3): a divisor of K.
-  slc = 27 if k % 27 == 0 else g1  # divisor of K = g1*g1
-  bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
-
   # ---- phase 1: per-block quadrant histograms via slab sums ----
   # Quadrants are contiguous half-row/half-col slabs of the row-major
-  # (th, tw) block, so their sums are plain reductions over non-minor axes.
-  # One block at a time: the (P, V) compare temp is 131 KB, leaving VMEM
-  # for the full one-hot cache.
-  for a in range(k):
-    oh = (blocks_ref[0, a, :][:, None] == bin_iota).astype(jnp.int8)
-    oh_ref[a, :, :] = oh
-    q_ref[a] = jnp.sum(
-        oh.astype(jnp.bfloat16).reshape(2, th // 2, 2, tw // 2, nbins),
-        axis=(1, 3),
-        dtype=jnp.float32,
-    )  # (2, 2, V); [r, c]: r=0 top rows, r=1 bottom rows.
+  # (th, tw) block, so their sums are plain reductions over non-minor
+  # axes, sliced over blocks for bigger vector ops per iteration. int8
+  # one-hots with int32 accumulation are exact and ride the VPU's higher
+  # integer throughput.
+  # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
+  # the mask build + low-M dots cost more than the saved compares.)
+  slc = 27 if k % 27 == 0 else (g1 if k % g1 == 0 else 1)
+  bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
+  for a in range(0, k, slc):
+    oh = (
+        blocks_ref[0, a:a + slc, :][:, :, None] == bin_iota[None]
+    ).astype(jnp.int8)  # (slc, P, V)
+    q_ref[a:a + slc] = jnp.sum(
+        oh.reshape(slc, 2, th // 2, 2, tw // 2, nbins),
+        axis=(2, 4),
+        dtype=jnp.int32,
+    ).astype(jnp.float32)  # (slc, 2, 2, V); [r, c]: r=0 top rows.
 
   q = q_ref[:, :, :, :].reshape(g1, g1, 2, 2, nbins)
   # Tile (ti, tj) = BR of dual (ti, tj) + BL of dual (ti, tj+1)
@@ -94,31 +97,46 @@ def _kernel(
   )
   mapping = (cdf / cdf[:, -1:]).reshape(g, g, nbins)
 
-  # ---- phase 3: corner-LUT interpolation, batched over blocks ----
+  # ---- phase 3: corner-LUT remap via native lane gathers ----
   # Corner LUTs per dual block (i, j): tiles (clip(i-1), clip(i)) x
   # (clip(j-1), clip(j)), built by edge replication (static slices).
   mpr = jnp.concatenate([mapping[:1], mapping, mapping[-1:]], axis=0)
   mpc = jnp.concatenate([mpr[:, :1], mpr, mpr[:, -1:]], axis=1)
   # (g+2, g+2, V)
-  luts = jnp.stack(
+  # Staged via VMEM scratch (corner-major, contiguous (K, V) per corner):
+  # Mosaic's gather lowering wants plainly laid-out ref operands, not
+  # fused stack/broadcast expressions.
+  luts_ref[:, :, :] = jnp.stack(
       [
           mpc[0:g1, 0:g1],  # (i-1, j-1)
           mpc[0:g1, 1:g1 + 1],  # (i-1, j)
           mpc[1:g1 + 1, 0:g1],  # (i,   j-1)
           mpc[1:g1 + 1, 1:g1 + 1],  # (i,   j)
       ],
-      axis=2,
-  ).reshape(k, 4, nbins).astype(jnp.bfloat16)
+      axis=0,
+  ).reshape(4, k, nbins)
 
   wgt_t = wgt_ref[:, :].T  # (4, P)
-  for a in range(0, k, slc):
-    vals = jax.lax.dot_general(
-        luts[a:a + slc],
-        oh_ref[a:a + slc].astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (slc, 4, P)
-    out_ref[0, a:a + slc, :] = jnp.sum(vals * wgt_t[None, :, :], axis=1)
+
+  # Mosaic's lane gather is limited to one 128-lane vreg along the gather
+  # dimension, so gather each 128-bin LUT segment and select by range.
+  lane = 128
+  for c0 in range(0, p, lane):
+    pc = min(lane, p - c0)
+    idxc = blocks_ref[0, :, c0:c0 + pc]  # (K, pc)
+    out_acc = jnp.zeros((k, pc), jnp.float32)
+    for c in range(4):
+      acc = jnp.zeros((k, pc), jnp.float32)
+      for s0 in range(0, nbins, lane):
+        sw = min(lane, nbins - s0)
+        seg = luts_ref[c, :, s0:s0 + sw]  # (K, sw)
+        within = jnp.logical_and(idxc >= s0, idxc < s0 + sw)
+        idx_m = jnp.clip(idxc - s0, 0, sw - 1)
+        acc = jnp.where(
+            within, jnp.take_along_axis(seg, idx_m, axis=1), acc
+        )
+      out_acc = out_acc + acc * wgt_t[c:c + 1, c0:c0 + pc]
+    out_ref[0, :, c0:c0 + pc] = out_acc
 
 
 @functools.partial(
@@ -158,7 +176,7 @@ def clahe_fused(
         out_shape=jax.ShapeDtypeStruct((c, k, p), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((k, 2, 2, nbins), jnp.float32),
-            pltpu.VMEM((k, p, nbins), jnp.int8),
+            pltpu.VMEM((4, k, nbins), jnp.float32),
         ],
         interpret=interpret,
     )(x, weights)
