@@ -84,15 +84,17 @@ def _gaussian_logprob(mean, log_std, action):
   )
 
 
-def make_train(
+def make_train_fns(
     env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig()
 ):
-  """Builds a jitted PPO train function for the given batched env.
+  """Builds (init_carry, run_updates, module) for chunked PPO training.
 
-  Returns train(key) -> (params, metrics) where metrics hold per-update
-  mean episode returns and losses. The entire optimization — rollouts, GAE
-  with the env's per-step simulated-time discounts, minibatched clipped
-  updates — is ONE jitted lax.scan program.
+  init_carry(key) -> carry initializes params/optimizer/env state;
+  run_updates(carry, num_updates) -> (carry, metrics) runs a jitted
+  lax.scan of `num_updates` PPO updates (static arg — reuse the same
+  chunk size to avoid recompiles). Chunking lets multi-hour runs save
+  rolling checkpoints between device calls; make_train() wraps both into
+  the single-call form.
   """
   action_dim = env.action_spec().shape[0]
   module = ActorCritic(
@@ -107,7 +109,7 @@ def make_train(
       optax.adam(config.learning_rate),
   )
 
-  def train(key: jax.Array):
+  def init_carry(key: jax.Array):
     key, k_init, k_reset = jax.random.split(key, 3)
     spec = env.observation_spec()
     if isinstance(spec, dict):
@@ -119,7 +121,9 @@ def make_train(
     params = module.init(k_init, dummy)['params']
     opt_state = optimizer.init(params)
     env_state, ts = env.reset(k_reset)
+    return (params, opt_state, env_state, ts, key)
 
+  def run_updates(carry, num_updates: int):
     def policy_step(carry, _):
       params, env_state, ts, key = carry
       key, k_act, k_step = jax.random.split(key, 3)
@@ -244,15 +248,64 @@ def make_train(
       }
       return (params, opt_state, env_state, ts, key), metrics
 
-    (params, opt_state, env_state, ts, key), metrics = jax.lax.scan(
-        update,
-        (params, opt_state, env_state, ts, key),
-        None,
-        length=config.num_updates,
-    )
-    return params, metrics
+    carry, metrics = jax.lax.scan(update, carry, None, length=num_updates)
+    return carry, metrics
 
-  return jax.jit(train), module
+  return (
+      jax.jit(init_carry),
+      jax.jit(run_updates, static_argnums=(1,)),
+      module,
+  )
+
+
+def make_train(
+    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig()
+):
+  """Builds a jitted PPO train function for the given batched env.
+
+  Returns train(key) -> (params, metrics) where metrics hold per-update
+  mean episode returns and losses. The entire optimization — rollouts, GAE
+  with the env's per-step simulated-time discounts, minibatched clipped
+  updates — is ONE jitted lax.scan program.
+  """
+  init_carry, run_updates, module = make_train_fns(env, config)
+
+  @jax.jit
+  def train(key: jax.Array):
+    carry, metrics = run_updates(init_carry(key), config.num_updates)
+    return carry[0], metrics
+
+  return train, module
+
+
+def as_eval_agent(params, env: env_lib.PuttingDuneEnv, config: PPOConfig):
+  """Wraps trained ActorCritic params as a saveable EvalAgent."""
+  from putting_dune_tpu.agents import eval_agent
+
+  action_dim = env.action_spec().shape[0]
+  spec = env.observation_spec()
+  params = jax.device_get(params)
+  if isinstance(spec, dict):
+    # Image policies keep the full actor-critic module (mean head used at
+    # inference); saved as an 'actor_critic' checkpoint.
+    return eval_agent.EvalAgent.from_actor_critic(
+        params,
+        hidden=config.hidden,
+        conv_features=config.conv_features,
+        action_dim=action_dim,
+        image_size=spec['image'].shape[0],
+    )
+  policy_module = eval_agent.MLPPolicy(
+      hidden=config.hidden, action_dim=action_dim
+  )
+  # Transfer the actor tower + mean head into the eval policy layout:
+  # MLPPolicy layers Dense_0..N then final Dense; ActorCritic shares
+  # names Dense_0..N for the tower and 'policy_mean' for the head.
+  policy_params = {}
+  for i in range(len(config.hidden)):
+    policy_params[f'Dense_{i}'] = params[f'Dense_{i}']
+  policy_params[f'Dense_{len(config.hidden)}'] = params['policy_mean']
+  return eval_agent.EvalAgent(policy_module, policy_params)
 
 
 def train_and_save(
@@ -260,37 +313,50 @@ def train_and_save(
     save_dir: str,
     config: PPOConfig = PPOConfig(),
     seed: int = 0,
+    updates_per_chunk: Optional[int] = None,
+    max_wall_seconds: Optional[float] = None,
+    log_every_chunk: bool = False,
 ):
-  """Trains PPO and saves the policy as an EvalAgent checkpoint."""
-  from putting_dune_tpu.agents import eval_agent
+  """Trains PPO and saves the policy as an EvalAgent checkpoint.
 
-  train, module = make_train(env, config)
-  params, metrics = train(jax.random.PRNGKey(seed))
-  params = jax.device_get(params)
+  With updates_per_chunk set, training runs as repeated jitted chunks,
+  saving a rolling checkpoint to save_dir after every chunk (long runs
+  survive interruption) and stopping early once max_wall_seconds is
+  exceeded. Without it, the whole run is one device call.
+  """
+  import time as _time
 
-  action_dim = env.action_spec().shape[0]
-  spec = env.observation_spec()
-  if isinstance(spec, dict):
-    # Image policies keep the full actor-critic module (mean head used at
-    # inference); saved as an 'actor_critic' checkpoint.
-    agent = eval_agent.EvalAgent.from_actor_critic(
-        params,
-        hidden=config.hidden,
-        conv_features=config.conv_features,
-        action_dim=action_dim,
-        image_size=spec['image'].shape[0],
-    )
-  else:
-    policy_module = eval_agent.MLPPolicy(
-        hidden=config.hidden, action_dim=action_dim
-    )
-    # Transfer the actor tower + mean head into the eval policy layout:
-    # MLPPolicy layers Dense_0..N then final Dense; ActorCritic shares
-    # names Dense_0..N for the tower and 'policy_mean' for the head.
-    policy_params = {}
-    for i in range(len(config.hidden)):
-      policy_params[f'Dense_{i}'] = params[f'Dense_{i}']
-    policy_params[f'Dense_{len(config.hidden)}'] = params['policy_mean']
-    agent = eval_agent.EvalAgent(policy_module, policy_params)
-  agent.save(save_dir)
-  return agent, jax.device_get(metrics)
+  if updates_per_chunk is None:
+    train, module = make_train(env, config)
+    params, metrics = train(jax.random.PRNGKey(seed))
+    agent = as_eval_agent(params, env, config)
+    agent.save(save_dir)
+    return agent, jax.device_get(metrics)
+
+  init_carry, run_updates, module = make_train_fns(env, config)
+  carry = init_carry(jax.random.PRNGKey(seed))
+  chunks: list = []
+  done = 0
+  t0 = _time.monotonic()
+  while done < config.num_updates:
+    n = min(updates_per_chunk, config.num_updates - done)
+    carry, metrics = run_updates(carry, n)
+    metrics = jax.device_get(metrics)  # forces completion (host fetch)
+    chunks.append(metrics)
+    done += n
+    agent = as_eval_agent(carry[0], env, config)
+    agent.save(save_dir)
+    elapsed = _time.monotonic() - t0
+    if log_every_chunk:
+      print(
+          f'ppo: {done}/{config.num_updates} updates, {elapsed:.0f}s,'
+          f" loss={metrics['loss'][-1]:.4f}"
+          f" terminal_rate={float(np.mean(metrics['terminal_rate'])):.4f}",
+          flush=True,
+      )
+    if max_wall_seconds is not None and elapsed > max_wall_seconds:
+      break
+  metrics = {
+      k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]
+  }
+  return as_eval_agent(carry[0], env, config), metrics

@@ -28,6 +28,14 @@ def main() -> None:
   parser.add_argument('--learning_rate', type=float, default=3e-4)
   parser.add_argument('--seed', type=int, default=0)
   parser.add_argument('--eval_suite', default='small_eval')
+  parser.add_argument(
+      '--updates_per_chunk', type=int, default=None,
+      help='Chunked training: save a rolling checkpoint every N updates.',
+  )
+  parser.add_argument(
+      '--max_wall_seconds', type=float, default=None,
+      help='Stop after this much wall time (chunked mode only).',
+  )
   args = parser.parse_args()
 
   import jax
@@ -52,6 +60,9 @@ def main() -> None:
   agent, metrics = ppo.train_and_save(
       env, os.path.join(args.workdir, 'policy'), config=config,
       seed=args.seed,
+      updates_per_chunk=args.updates_per_chunk,
+      max_wall_seconds=args.max_wall_seconds,
+      log_every_chunk=args.updates_per_chunk is not None,
   )
   np.savez_compressed(
       os.path.join(args.workdir, 'train_metrics.npz'), **metrics

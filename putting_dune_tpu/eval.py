@@ -55,7 +55,9 @@ def main(args: Args) -> 'object':
         step_limit=args.step_limit,
     )
     policy = _policy_for_agent(agent, env)
-    results = eval_lib.evaluate_batched(env, policy, seeds)
+    results = eval_lib.evaluate_batched(
+        env, policy, seeds, video_save_dir=args.video_save_dir
+    )
   else:
     env = run_helpers.create_putting_dune_env(
         args.seed,

@@ -101,6 +101,8 @@ def evaluate_batched(
     *,
     timeout_seconds: float = DEFAULT_TIMEOUT_SECONDS,
     max_steps: Optional[int] = None,
+    video_save_dir: Optional[str] = None,
+    video_envs: int = 4,
 ) -> List[EvalResult]:
   """Evaluates a pure policy over one batch of environments on device.
 
@@ -110,6 +112,13 @@ def evaluate_batched(
     seeds: one seed per environment (keys are derived from them).
     timeout_seconds: simulated-seconds budget per episode.
     max_steps: optional step cap (defaults to env.config.step_limit).
+    video_save_dir: if set, save per-env episode GIFs for the first
+      `video_envs` environments. Within an episode the lattice pose is
+      frozen (KMC transitions only relabel the silicon site), so the
+      device loop records just (si_index, offset, theta, goal) per step
+      and the atom cloud is rebuilt on the host — a few KB per episode
+      instead of full frames.
+    video_envs: number of leading environments to record.
 
   Returns:
     One EvalResult per seed (agent wall-time is reported as 0 in batch
@@ -121,6 +130,8 @@ def evaluate_batched(
     )
   if max_steps is None:
     max_steps = env.config.step_limit or 600
+  nvid = min(video_envs, env.batch_size) if video_save_dir else 0
+  cap = max_steps + 1
 
   seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
 
@@ -148,6 +159,22 @@ def evaluate_batched(
         reward=jnp.zeros((batch,), jnp.float32),
         loop_i=jnp.asarray(0, jnp.int32),
     )
+    if nvid:
+      material = state.sim.material
+      init['video'] = dict(
+          si=jnp.zeros((cap, nvid), jnp.int32)
+          .at[0]
+          .set(material.si_index[:nvid]),
+          offset=jnp.zeros((cap, nvid, 2), jnp.float32)
+          .at[0]
+          .set(material.offset[:nvid]),
+          theta=jnp.zeros((cap, nvid), jnp.float32)
+          .at[0]
+          .set(material.theta[:nvid]),
+          goal=jnp.zeros((cap, nvid, 2), jnp.float32)
+          .at[0]
+          .set(state.goal.position_material[:nvid]),
+      )
 
     def cond(c):
       return jnp.logical_and(
@@ -175,7 +202,7 @@ def evaluate_batched(
       done = jnp.logical_or(done, jnp.logical_and(live, ts.first()))
       # Episodes that exceed the simulated-time budget stop counting.
       done = jnp.logical_or(done, env_seconds > timeout_seconds)
-      return dict(
+      out = dict(
           state=state,
           ts=ts,
           key=key,
@@ -186,6 +213,19 @@ def evaluate_batched(
           reward=reward,
           loop_i=c['loop_i'] + 1,
       )
+      if nvid:
+        i = c['loop_i'] + 1
+        material = state.sim.material
+        vid = c['video']
+        out['video'] = dict(
+            si=vid['si'].at[i].set(material.si_index[:nvid]),
+            offset=vid['offset'].at[i].set(material.offset[:nvid]),
+            theta=vid['theta'].at[i].set(material.theta[:nvid]),
+            goal=vid['goal']
+            .at[i]
+            .set(state.goal.position_material[:nvid]),
+        )
+      return out
 
     final = jax.lax.while_loop(cond, body, init)
     return (
@@ -193,9 +233,16 @@ def evaluate_batched(
         final['steps'],
         final['env_seconds'],
         final['reward'],
+        final.get('video'),
     )
 
-  reached, steps, env_seconds, reward = jax.device_get(rollout(seeds_arr))
+  reached, steps, env_seconds, reward, video = jax.device_get(
+      rollout(seeds_arr)
+  )
+  if nvid:
+    _save_batched_videos(
+        env, seeds, steps, video, video_save_dir, nvid
+    )
   results = []
   for i, seed in enumerate(seeds):
     ok = bool(reached[i])
@@ -212,6 +259,40 @@ def evaluate_batched(
         )
     )
   return results
+
+
+def _save_batched_videos(env, seeds, steps, video, save_dir, nvid):
+  """Rebuilds atom clouds from recorded poses and writes per-env GIFs."""
+  import os
+
+  from putting_dune_tpu import constants as _constants
+  from putting_dune_tpu import lattice as _lattice_lib
+  from putting_dune_tpu import plotting_utils
+
+  os.makedirs(save_dir, exist_ok=True)
+  cap = video['si'].shape[0]
+  for i in range(nvid):
+    count = min(int(steps[i]) + 1, cap)
+    positions_seq = []
+    numbers_seq = []
+    for t in range(count):
+      world = np.asarray(
+          _lattice_lib.world_positions(
+              env.lattice,
+              jnp.asarray(video['offset'][t, i]),
+              jnp.asarray(video['theta'][t, i]),
+          )
+      )
+      numbers = np.full(world.shape[0], _constants.CARBON)
+      numbers[int(video['si'][t, i])] = _constants.SILICON
+      positions_seq.append(world)
+      numbers_seq.append(numbers)
+    anim = plotting_utils.generate_video_from_trajectory(
+        positions_seq,
+        numbers_seq,
+        goal_position=np.asarray(video['goal'][0, i]),
+    )
+    anim.save(os.path.join(save_dir, f'{int(seeds[i])}.gif'))
 
 
 def _snapshot_frame(env):

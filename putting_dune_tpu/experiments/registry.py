@@ -172,6 +172,15 @@ def _get_human_prior_rates_config() -> experiments.SimulatorSpec:
   )
 
 
+def _get_prior_rates_config_with_duration(
+    image_duration_seconds: float,
+) -> experiments.SimulatorSpec:
+  return experiments.SimulatorSpec(
+      rate_fn=rates_lib.prior_rates,
+      image_duration_seconds=image_duration_seconds,
+  )
+
+
 _GREEDY_MATERIAL_FRAME_5S = functools.partial(
     _SingleSiliconGoalReachingMaterialFrame,
     min_dwell_seconds=5.0,
@@ -307,6 +316,37 @@ _TRAIN_EXPERIMENTS = {
         get_simulator_config=_get_simple_rates_config,
     ),
 }
+
+# Native additions: train counterparts for the reference's externally
+# trained checkpoint agents (reference registry.py:352-416 only SHIPS the
+# TF SavedModels; the training configs were never released). Adapters,
+# goals, and image durations (the Ns suffix) mirror the corresponding
+# microscope experiments; the human-prior rate function stands in for the
+# unreleased learned-rate simulators.
+_TRAIN_EXPERIMENTS.update({
+    f'ppo_learned_{n}s': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.0, max_dwell_seconds=10.0
+        ),
+        get_simulator_config=functools.partial(
+            _get_prior_rates_config_with_duration, float(n)
+        ),
+    )
+    for n in (2, 3, 4)
+})
+_TRAIN_EXPERIMENTS.update({
+    f'ppo_v3_{n}s': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReaching(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=3 * BOND,
+        ),
+        get_simulator_config=functools.partial(
+            _get_prior_rates_config_with_duration, float(n)
+        ),
+    )
+    for n in (2, 3, 4)
+})
 
 _EVAL_EXPERIMENTS = {
     'relative_random_simple': experiments.EvalExperiment(

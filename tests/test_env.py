@@ -218,3 +218,28 @@ def test_image_features_env_end_to_end():
   assert ts.observation['image'].shape == (2, 128, 128, 1)
   # Images vary across steps (fresh noise and possibly moved atoms).
   assert not np.array_equal(img0, np.asarray(ts.observation['image']))
+
+
+def test_evaluate_batched_writes_videos(tmp_path):
+  """Batched eval records per-env GIFs (pose + si_index replay)."""
+  from putting_dune_tpu import eval_lib
+
+  batch = 4
+  env = make_env(
+      batch_size=batch, material_frame=True, step_limit=60,
+      rate_fn=rates_lib.simple_canonical_rates, dwell=5.0,
+  )
+
+  def policy(key, obs):
+    del key
+    return agent_lib.greedy_policy(None, obs)
+
+  results = eval_lib.evaluate_batched(
+      env, policy, seeds=list(range(batch)),
+      video_save_dir=str(tmp_path), video_envs=2,
+  )
+  assert len(results) == batch
+  import os
+  gifs = sorted(os.listdir(tmp_path))
+  assert gifs == ['0.gif', '1.gif']
+  assert os.path.getsize(tmp_path / '0.gif') > 1000

@@ -45,6 +45,27 @@ def test_ppo_trains_and_exports(tmp_path):
   assert actions.shape == (8, 2)
 
 
+def test_ppo_chunked_training(tmp_path):
+  """Chunked mode: rolling checkpoints, concatenated metrics."""
+  env = test_utils.create_simple_environment(batch_size=16)
+  config = ppo.PPOConfig(
+      num_updates=4,
+      rollout_length=8,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(16,),
+  )
+  agent, metrics = ppo.train_and_save(
+      env, str(tmp_path / 'policy'), config=config, seed=0,
+      updates_per_chunk=2,
+  )
+  assert metrics['loss'].shape == (4,)
+  # The rolling checkpoint from the last chunk is loadable.
+  restored = eval_agent.EvalAgent.load(str(tmp_path / 'policy'))
+  actions = restored.policy()(None, jax.numpy.zeros((4, 10)))
+  assert actions.shape == (4, 2)
+
+
 def test_ppo_from_pixels(tmp_path):
   """Image-observation PPO: trains, exports, reloads (64x64 images)."""
   import jax.numpy as jnp
