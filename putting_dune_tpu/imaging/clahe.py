@@ -92,12 +92,21 @@ def equalize_adapthist(
       axis=-1,
   ).reshape(th * tw, 4)
 
-  # Fully-fused kernel shortcut: everything below (one-hot, histograms,
-  # clip/cdf, LUT matmul) happens inside one pallas_call in VMEM.
+  # Fully-fused kernel shortcut: everything below (one-hot histograms,
+  # clip/cdf, gather-based LUT remap) happens inside one pallas_call in
+  # VMEM. The kernel slices its per-block compare temp adaptively, so the
+  # only hard requirements are lane-aligned pixels (the gather runs in
+  # 128-lane chunks; tiles of 64x64-and-larger images satisfy this) and a
+  # single-vreg-wide LUT segment.
   on_cpu = jax.default_backend() == 'cpu'
-  fused_cache_bytes = (g + 1) * (g + 1) * npx * nbins * 2  # bf16 one-hots
+  # 'auto' currently routes tiles up to 512 pixels (images up to 128^2 at
+  # the default 8x8 grid) to the fused kernel — the sizes validated on
+  # TPU hardware. Larger tiles pass CPU interpret checks and are
+  # reachable via backend='pallas_fused' but stay on XLA by default until
+  # they are TPU-validated.
+  fused_ok = (npx % 128 == 0 or npx <= 128) and npx <= 512
   if backend == 'pallas_fused' or (
-      backend == 'auto' and not on_cpu and fused_cache_bytes <= 11 * 2**20
+      backend == 'auto' and not on_cpu and fused_ok
   ):
     from putting_dune_tpu.ops import clahe_fused_pallas
 

@@ -57,7 +57,13 @@ def _kernel(
   # integer throughput.
   # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
   # the mask build + low-M dots cost more than the saved compares.)
-  slc = 27 if k % 27 == 0 else (g1 if k % g1 == 0 else 1)
+  # Slice size: largest divisor of K whose (slc, P, V) int8 compare temp
+  # stays within ~4 MB, so big tiles (256^2/512^2 images) still fit VMEM.
+  slc = 1
+  for cand in range(k, 0, -1):
+    if k % cand == 0 and cand * p * nbins <= 4 * 2**20:
+      slc = cand
+      break
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
   for a in range(0, k, slc):
     oh = (
