@@ -36,6 +36,11 @@ def main() -> None:
       '--max_wall_seconds', type=float, default=None,
       help='Stop after this much wall time (chunked mode only).',
   )
+  parser.add_argument(
+      '--render_size', type=int, default=None,
+      help='Rendered STEM frame resolution for image envs (default 512; '
+      'training pixel policies at 256 or 128 is much faster).',
+  )
   args = parser.parse_args()
 
   import jax
@@ -50,6 +55,7 @@ def main() -> None:
       experiment.get_adapters_and_goal,
       experiment.get_simulator_config,
       batch_size=args.batch_size,
+      image_size=args.render_size,
   )
   config = ppo.PPOConfig(
       num_updates=args.num_updates,

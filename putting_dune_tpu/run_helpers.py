@@ -24,13 +24,20 @@ def create_batched_env(
     batch_size: int = 1,
     step_limit: Optional[int] = 600,
     grid_columns: int = 50,
+    image_size: Optional[int] = None,
 ) -> env_lib.PuttingDuneEnv:
-  """Builds the batched device-native environment from experiment parts."""
+  """Builds the batched device-native environment from experiment parts.
+
+  image_size overrides the rendered STEM frame resolution (default 512,
+  matching the reference; feature constructors resize to their own size).
+  Training at a lower render size is a large speedup for pixel policies.
+  """
   adapters = get_adapters_and_goal()
   sim_spec = get_simulator_config()
   sim_config = simulator_lib.SimulatorConfig(
       grid_columns=grid_columns,
       image_duration_seconds=sim_spec.image_duration_seconds,
+      **({'image_size': image_size} if image_size else {}),
   )
   return env_lib.PuttingDuneEnv(
       lattice=lattice_lib.make_lattice(grid_columns),
