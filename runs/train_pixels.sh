@@ -10,7 +10,7 @@ for attempt in 1 2 3; do
     --train_experiment=relative_simple_rates_from_images \
     --workdir=runs/ppo_images \
     --batch_size=256 --num_updates=12000 --rollout_length=16 \
-    --render_size=256 \
+    --render_size=128 \
     --updates_per_chunk=200 --max_wall_seconds=5400 \
     --eval_suite=tiny_eval >> "$LOG" 2>&1 && break
   echo "attempt $attempt failed (stale TPU claim?), retrying" >> "$LOG"
