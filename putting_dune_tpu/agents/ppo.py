@@ -57,6 +57,13 @@ class ActorCritic(nn.Module):
     return mean, jnp.broadcast_to(log_std, mean.shape), value
 
 
+def _goal_delta(obs):
+  """Extracts the goal-delta feature (angstroms) from either obs layout."""
+  if isinstance(obs, dict):
+    return obs['goal_delta_angstroms']
+  return obs[..., -2:]  # both vector feature layouts end with goal delta
+
+
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
   num_updates: int = 200
@@ -72,6 +79,11 @@ class PPOConfig:
   max_grad_norm: float = 0.5
   hidden: Tuple[int, ...] = (256, 256)
   conv_features: Tuple[int, ...] = (16, 32, 64)
+  # Potential-based reward shaping (training-time only): adds
+  # discount * phi(s') - phi(s) with phi = -coef * ||goal_delta|| / bond.
+  # Preserves the optimal policy (Ng et al., 1999) while densifying the
+  # sparse goal-reaching reward; useful for pixel policies. 0 disables.
+  reward_shaping_coef: float = 0.0
 
 
 def _gaussian_logprob(mean, log_std, action):
@@ -134,12 +146,30 @@ def make_train_fns(
       )
       logprob = _gaussian_logprob(mean, log_std, action)
       next_state, next_ts = env.step(env_state, action, k_step)
+      reward = next_ts.reward
+      if config.reward_shaping_coef:
+        from putting_dune_tpu import constants as _constants
+
+        coef = (
+            config.reward_shaping_coef
+            / _constants.CARBON_BOND_DISTANCE_ANGSTROMS
+        )
+        phi_s = -coef * jnp.linalg.norm(
+            _goal_delta(ts.observation), axis=-1
+        )
+        phi_sp = -coef * jnp.linalg.norm(
+            _goal_delta(next_ts.observation), axis=-1
+        )
+        # Skip shaping across auto-reset boundaries (s' belongs to the
+        # next episode there); terminal discount=0 drops phi(s') itself.
+        shaped = next_ts.discount * phi_sp - phi_s
+        reward = reward + jnp.where(next_ts.first(), 0.0, shaped)
       transition = {
           'obs': ts.observation,
           'action': action,
           'logprob': logprob,
           'value': value,
-          'reward': next_ts.reward,
+          'reward': reward,
           # discount is 0 at terminals and gamma**elapsed otherwise, which
           # is exactly the GAE bootstrap factor for this env.
           'discount': next_ts.discount,

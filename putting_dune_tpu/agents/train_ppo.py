@@ -37,6 +37,11 @@ def main() -> None:
       help='Stop after this much wall time (chunked mode only).',
   )
   parser.add_argument(
+      '--reward_shaping', type=float, default=0.0,
+      help='Potential-based shaping coefficient (0 = off). Training-time '
+      'only; eval uses the true sparse reward.',
+  )
+  parser.add_argument(
       '--render_size', type=int, default=None,
       help='Rendered STEM frame resolution for image envs (default 512; '
       'training pixel policies at 256 or 128 is much faster).',
@@ -61,6 +66,7 @@ def main() -> None:
       num_updates=args.num_updates,
       rollout_length=args.rollout_length,
       learning_rate=args.learning_rate,
+      reward_shaping_coef=args.reward_shaping,
   )
   os.makedirs(args.workdir, exist_ok=True)
   agent, metrics = ppo.train_and_save(

@@ -107,3 +107,22 @@ def test_ppo_from_pixels(tmp_path):
   actions = policy(None, obs)
   assert actions.shape == (4, 2)
   assert (np.abs(np.asarray(actions)) <= 1.0).all()
+
+
+def test_ppo_reward_shaping_runs():
+  """Shaped training runs and produces finite metrics (vector env)."""
+  env = test_utils.create_simple_environment(batch_size=16)
+  config = ppo.PPOConfig(
+      num_updates=3,
+      rollout_length=8,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(16,),
+      reward_shaping_coef=0.05,
+  )
+  train, _ = ppo.make_train(env, config)
+  _, metrics = train(jax.random.PRNGKey(0))
+  assert np.isfinite(np.asarray(metrics['loss'])).all()
+  # Shaped rewards are dense: mean_reward should not be exactly the sparse
+  # terminal-only signal (nonzero on most updates).
+  assert np.abs(np.asarray(metrics['mean_reward'])).max() > 0.0
