@@ -24,9 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    blocks_ref,  # (1, G1*G1, P) int32 dual-block pixel bins
+    blocks_ref,  # (IMG, G1*G1, P) int32 dual-block pixel bins
     wgt_ref,  # (P, 4) f32 bilinear weights
-    out_ref,  # (1, G1*G1, P) f32
+    out_ref,  # (IMG, G1*G1, P) f32
     q_ref,  # scratch (G1*G1, 2, 2, V) f32 per-block quadrant histograms
     luts_ref,  # scratch (4, G1*G1, V) f32 corner LUTs, corner-major
     *,
@@ -35,8 +35,10 @@ def _kernel(
     tw: int,
     nbins: int,
     clip_limit: float,
+    img_per_program: int,
 ):
-  """Three phases per image, all in VMEM.
+  """Three phases per image, all in VMEM; multiple images per grid step
+  amortize per-program overhead.
 
   Phase 1 builds a per-block one-hot (the dominant VPU cost) for the
   quadrant histogram slab sums; phase 2 clips/redistributes and computes
@@ -49,100 +51,104 @@ def _kernel(
   p = th * tw
   npx = float(th * tw)
 
-  # ---- phase 1: per-block quadrant histograms via slab sums ----
-  # Quadrants are contiguous half-row/half-col slabs of the row-major
-  # (th, tw) block, so their sums are plain reductions over non-minor
-  # axes, sliced over blocks for bigger vector ops per iteration. int8
-  # one-hots with int32 accumulation are exact and ride the VPU's higher
-  # integer throughput.
-  # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
-  # the mask build + low-M dots cost more than the saved compares.)
   # Slice size: largest divisor of K whose (slc, P, V) int8 compare temp
-  # stays within ~4 MB, so big tiles (256^2/512^2 images) still fit VMEM.
+  # stays within ~4 MB, so big tiles (256^2 images) still fit VMEM.
   slc = 1
   for cand in range(k, 0, -1):
     if k % cand == 0 and cand * p * nbins <= 4 * 2**20:
       slc = cand
       break
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
-  for a in range(0, k, slc):
-    oh = (
-        blocks_ref[0, a:a + slc, :][:, :, None] == bin_iota[None]
-    ).astype(jnp.int8)  # (slc, P, V)
-    q_ref[a:a + slc] = jnp.sum(
-        oh.reshape(slc, 2, th // 2, 2, tw // 2, nbins),
-        axis=(2, 4),
-        dtype=jnp.int32,
-    ).astype(jnp.float32)  # (slc, 2, 2, V); [r, c]: r=0 top rows.
-
-  q = q_ref[:, :, :, :].reshape(g1, g1, 2, 2, nbins)
-  # Tile (ti, tj) = BR of dual (ti, tj) + BL of dual (ti, tj+1)
-  # + TR of dual (ti+1, tj) + TL of dual (ti+1, tj+1).
-  hist = (
-      q[:g, :g, 1, 1]
-      + q[:g, 1:, 1, 0]
-      + q[1:, :g, 0, 1]
-      + q[1:, 1:, 0, 0]
-  )  # (g, g, V)
-
-  # ---- phase 2: clip + redistribute + cdf ----
-  hist = hist.reshape(g * g, nbins)
-  clim = max(clip_limit * npx, 1.0)
-  excess = jnp.sum(jnp.maximum(hist - clim, 0.0), axis=-1, keepdims=True)
-  hist = jnp.minimum(hist, clim) + excess / nbins
-  # cumsum isn't lowerable on Mosaic TC; a lower-triangular matmul is, and
-  # the (V, V) mask rides the MXU.
+  lane = 128
   tri = (
       jax.lax.broadcasted_iota(jnp.int32, (nbins, nbins), 0)
       <= jax.lax.broadcasted_iota(jnp.int32, (nbins, nbins), 1)
   ).astype(jnp.float32)
-  cdf = jax.lax.dot_general(
-      hist, tri,
-      dimension_numbers=(((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32,
-  )
-  mapping = (cdf / cdf[:, -1:]).reshape(g, g, nbins)
-
-  # ---- phase 3: corner-LUT remap via native lane gathers ----
-  # Corner LUTs per dual block (i, j): tiles (clip(i-1), clip(i)) x
-  # (clip(j-1), clip(j)), built by edge replication (static slices).
-  mpr = jnp.concatenate([mapping[:1], mapping, mapping[-1:]], axis=0)
-  mpc = jnp.concatenate([mpr[:, :1], mpr, mpr[:, -1:]], axis=1)
-  # (g+2, g+2, V)
-  # Staged via VMEM scratch (corner-major, contiguous (K, V) per corner):
-  # Mosaic's gather lowering wants plainly laid-out ref operands, not
-  # fused stack/broadcast expressions.
-  luts_ref[:, :, :] = jnp.stack(
-      [
-          mpc[0:g1, 0:g1],  # (i-1, j-1)
-          mpc[0:g1, 1:g1 + 1],  # (i-1, j)
-          mpc[1:g1 + 1, 0:g1],  # (i,   j-1)
-          mpc[1:g1 + 1, 1:g1 + 1],  # (i,   j)
-      ],
-      axis=0,
-  ).reshape(4, k, nbins)
-
   wgt_t = wgt_ref[:, :].T  # (4, P)
 
-  # Mosaic's lane gather is limited to one 128-lane vreg along the gather
-  # dimension, so gather each 128-bin LUT segment and select by range.
-  lane = 128
-  for c0 in range(0, p, lane):
-    pc = min(lane, p - c0)
-    idxc = blocks_ref[0, :, c0:c0 + pc]  # (K, pc)
-    out_acc = jnp.zeros((k, pc), jnp.float32)
-    for c in range(4):
-      acc = jnp.zeros((k, pc), jnp.float32)
-      for s0 in range(0, nbins, lane):
-        sw = min(lane, nbins - s0)
-        seg = luts_ref[c, :, s0:s0 + sw]  # (K, sw)
-        within = jnp.logical_and(idxc >= s0, idxc < s0 + sw)
-        idx_m = jnp.clip(idxc - s0, 0, sw - 1)
-        acc = jnp.where(
-            within, jnp.take_along_axis(seg, idx_m, axis=1), acc
-        )
-      out_acc = out_acc + acc * wgt_t[c:c + 1, c0:c0 + pc]
-    out_ref[0, :, c0:c0 + pc] = out_acc
+  def process_image(img: int) -> None:
+    # ---- phase 1: per-block quadrant histograms via slab sums ----
+    # Quadrants are contiguous half-row/half-col slabs of the row-major
+    # (th, tw) block, so their sums are plain reductions over non-minor
+    # axes, sliced over blocks for bigger vector ops per iteration. int8
+    # one-hots with int32 accumulation are exact.
+    # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
+    # the mask build + low-M dots cost more than the saved compares.)
+    for a in range(0, k, slc):
+      oh = (
+          blocks_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
+      ).astype(jnp.int8)  # (slc, P, V)
+      q_ref[a:a + slc] = jnp.sum(
+          oh.reshape(slc, 2, th // 2, 2, tw // 2, nbins),
+          axis=(2, 4),
+          dtype=jnp.int32,
+      ).astype(jnp.float32)  # (slc, 2, 2, V); [r, c]: r=0 top rows.
+
+    q = q_ref[:, :, :, :].reshape(g1, g1, 2, 2, nbins)
+    # Tile (ti, tj) = BR of dual (ti, tj) + BL of dual (ti, tj+1)
+    # + TR of dual (ti+1, tj) + TL of dual (ti+1, tj+1).
+    hist = (
+        q[:g, :g, 1, 1]
+        + q[:g, 1:, 1, 0]
+        + q[1:, :g, 0, 1]
+        + q[1:, 1:, 0, 0]
+    )  # (g, g, V)
+
+    # ---- phase 2: clip + redistribute + cdf ----
+    hist = hist.reshape(g * g, nbins)
+    clim = max(clip_limit * npx, 1.0)
+    excess = jnp.sum(
+        jnp.maximum(hist - clim, 0.0), axis=-1, keepdims=True
+    )
+    hist = jnp.minimum(hist, clim) + excess / nbins
+    # cumsum isn't lowerable on Mosaic TC; a lower-triangular matmul is,
+    # and the (V, V) mask rides the MXU.
+    cdf = jax.lax.dot_general(
+        hist, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    mapping = (cdf / cdf[:, -1:]).reshape(g, g, nbins)
+
+    # ---- phase 3: corner-LUT remap via native lane gathers ----
+    # Corner LUTs per dual block (i, j): tiles (clip(i-1), clip(i)) x
+    # (clip(j-1), clip(j)), built by edge replication (static slices).
+    mpr = jnp.concatenate([mapping[:1], mapping, mapping[-1:]], axis=0)
+    mpc = jnp.concatenate([mpr[:, :1], mpr, mpr[:, -1:]], axis=1)
+    # (g+2, g+2, V). Staged via VMEM scratch (corner-major, contiguous
+    # (K, V) per corner): Mosaic's gather lowering wants plainly
+    # laid-out ref operands, not fused stack/broadcast expressions.
+    luts_ref[:, :, :] = jnp.stack(
+        [
+            mpc[0:g1, 0:g1],  # (i-1, j-1)
+            mpc[0:g1, 1:g1 + 1],  # (i-1, j)
+            mpc[1:g1 + 1, 0:g1],  # (i,   j-1)
+            mpc[1:g1 + 1, 1:g1 + 1],  # (i,   j)
+        ],
+        axis=0,
+    ).reshape(4, k, nbins)
+
+    # Mosaic's lane gather is limited to one 128-lane vreg along the
+    # gather dimension, so gather each 128-bin LUT segment and select.
+    for c0 in range(0, p, lane):
+      pc = min(lane, p - c0)
+      idxc = blocks_ref[img, :, c0:c0 + pc]  # (K, pc)
+      out_acc = jnp.zeros((k, pc), jnp.float32)
+      for c in range(4):
+        acc = jnp.zeros((k, pc), jnp.float32)
+        for s0 in range(0, nbins, lane):
+          sw = min(lane, nbins - s0)
+          seg = luts_ref[c, :, s0:s0 + sw]  # (K, sw)
+          within = jnp.logical_and(idxc >= s0, idxc < s0 + sw)
+          idx_m = jnp.clip(idxc - s0, 0, sw - 1)
+          acc = jnp.where(
+              within, jnp.take_along_axis(seg, idx_m, axis=1), acc
+          )
+        out_acc = out_acc + acc * wgt_t[c:c + 1, c0:c0 + pc]
+      out_ref[img, :, c0:c0 + pc] = out_acc
+
+  for img in range(img_per_program):
+    process_image(img)
 
 
 @functools.partial(
@@ -162,29 +168,31 @@ def clahe_fused(
 ) -> jnp.ndarray:
   """Returns (B, (g+1)^2, th*tw) remapped pixels."""
   b, k, p = blocks.shape
+  # Images per grid step: amortizes per-program overhead; bounded by the
+  # (IMG, K, P) int32 in + f32 out staying a small share of VMEM.
+  img = 1
+  for cand in (4, 2):
+    if b % cand == 0 and cand * k * p * 8 <= 4 * 2**20:
+      img = cand
+      break
   kernel = functools.partial(
-      _kernel, g=g, th=th, tw=tw, nbins=nbins, clip_limit=clip_limit
+      _kernel, g=g, th=th, tw=tw, nbins=nbins, clip_limit=clip_limit,
+      img_per_program=img,
   )
-
-  def call(x):
-    c = x.shape[0]
-    return pl.pallas_call(
-        kernel,
-        grid=(c,),
-        in_specs=[
-            pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((p, 4), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, k, p), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, k, p), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((k, 2, 2, nbins), jnp.float32),
-            pltpu.VMEM((4, k, nbins), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x, weights)
-
-  return call(blocks)
+  return pl.pallas_call(
+      kernel,
+      grid=(b // img,),
+      in_specs=[
+          pl.BlockSpec((img, k, p), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((img, k, p), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, k, p), jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((k, 2, 2, nbins), jnp.float32),
+          pltpu.VMEM((4, k, nbins), jnp.float32),
+      ],
+      interpret=interpret,
+  )(blocks, weights)
