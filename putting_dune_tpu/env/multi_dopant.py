@@ -1,0 +1,257 @@
+"""Multi-dopant batched environment (beyond-parity extension).
+
+The reference simulates exactly one dopant (graphene.py:562,
+PristineSingleDopedGraphene); its env/goal layers are single-silicon.
+This module extends the same physics to D dopants per environment on top
+of kmc.apply_control_multi (multi-channel KMC: one exponential waiting
+time from the summed rate, one (dopant, neighbor) move per round, moves
+onto occupied sites masked out).
+
+Design: there is still ONE physical electron beam, so the action stays a
+single (2,) beam position in the microscope frame ([-1, 1]^2 over the
+FOV). Each dopant has its own goal atom; the episode terminates when all
+dopants have sat within 0.5 bond of their goals for one step, with
+terminal reward gamma^elapsed scaled by nothing else (the single-dopant
+law applied jointly). Observations are per-dopant (position, goal delta)
+pairs, flattened: (D * 4,) in the material frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import kmc
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu.env import env as env_lib
+from putting_dune_tpu.env import goals as goals_lib
+
+
+class MultiDopantState(struct.PyTreeNode):
+  """Batched state: pose + (B, D) dopant sites + per-dopant goals."""
+
+  offset: jnp.ndarray  # (B, 2)
+  theta: jnp.ndarray  # (B,)
+  si_indices: jnp.ndarray  # (B, D) int32
+  fov_lower: jnp.ndarray  # (B, 2)
+  fov_upper: jnp.ndarray  # (B, 2)
+  goals: jnp.ndarray  # (B, D, 2) material frame
+  consecutive: jnp.ndarray  # (B, D) int32 steps-at-goal counters
+  steps: jnp.ndarray  # (B,) int32
+  needs_reset: jnp.ndarray  # (B,) bool
+
+
+def _initial_sites(
+    lattice: lattice_lib.Lattice, num_dopants: int
+) -> jnp.ndarray:
+  """D well-separated canonical sites: nearest lattice sites to anchors on
+  a ring of radius 2 bonds * D around the lattice center (distinctness
+  enforced by sequential masking)."""
+  angles = 2.0 * jnp.pi * jnp.arange(num_dopants) / max(num_dopants, 1)
+  radius = 2.0 * constants.CARBON_BOND_DISTANCE_ANGSTROMS * max(
+      num_dopants - 1, 1
+  )
+  anchors = radius * jnp.stack(
+      [jnp.cos(angles), jnp.sin(angles)], axis=-1
+  )  # (D, 2)
+  taken = jnp.zeros((lattice.positions.shape[0],), bool)
+  sites = []
+  for d in range(num_dopants):
+    dist = jnp.linalg.norm(lattice.positions - anchors[d], axis=-1)
+    dist = jnp.where(taken, jnp.inf, dist)
+    site = jnp.argmin(dist)
+    taken = taken.at[site].set(True)
+    sites.append(site)
+  return jnp.stack(sites).astype(jnp.int32)  # (D,)
+
+
+class MultiDopantEnv(struct.PyTreeNode):
+  """Batched D-dopant goal-reaching environment.
+
+  Action: (B, 2) in [-1, 1]^2, mapped to a beam position inside the FOV.
+  Observation: (B, D * 4) = per dopant [x, y, goal_dx, goal_dy] (material
+  frame, angstroms).
+  """
+
+  lattice: lattice_lib.Lattice = struct.field(pytree_node=False)
+  rate_fn: rates_lib.RateFunction = struct.field(pytree_node=False)
+  batch_size: int = struct.field(pytree_node=False, default=64)
+  num_dopants: int = struct.field(pytree_node=False, default=2)
+  dwell_seconds: float = struct.field(pytree_node=False, default=1.5)
+  image_duration_seconds: float = struct.field(
+      pytree_node=False, default=2.0
+  )
+  fov_width: float = struct.field(pytree_node=False, default=25.0)
+  step_limit: int = struct.field(pytree_node=False, default=600)
+
+  # ---------------------------------------------------------------- specs
+
+  def observation_size(self) -> int:
+    return self.num_dopants * 4
+
+  # ------------------------------------------------------------- plumbing
+
+  def _si_positions(self, state: MultiDopantState) -> jnp.ndarray:
+    # site_position broadcasts the (B,) pose over the (B, D) site dims.
+    return lattice_lib.site_position(
+        self.lattice, state.si_indices, state.offset, state.theta
+    )  # (B, D, 2)
+
+  def _observation(self, state: MultiDopantState) -> jnp.ndarray:
+    si = self._si_positions(state)
+    delta = state.goals - si
+    return jnp.concatenate([si, delta], axis=-1).reshape(
+        self.batch_size, -1
+    )
+
+  # ---------------------------------------------------------------- reset
+
+  @functools.partial(jax.jit, static_argnames=())
+  def reset(self, key: jax.Array) -> Tuple[MultiDopantState, env_lib.TimeStep]:
+    b, d = self.batch_size, self.num_dopants
+    k_pose, k_goal = jax.random.split(key)
+    k_off, k_theta = jax.random.split(k_pose)
+    offset = jax.random.uniform(
+        k_off, (b, 2), minval=-1.0, maxval=1.0
+    ) * constants.CARBON_BOND_DISTANCE_ANGSTROMS
+    theta = jax.random.uniform(
+        k_theta, (b,), minval=0.0, maxval=2.0 * jnp.pi
+    )
+    sites = jnp.broadcast_to(
+        _initial_sites(self.lattice, d), (b, d)
+    ).astype(jnp.int32)
+
+    state = MultiDopantState(
+        offset=offset,
+        theta=theta,
+        si_indices=sites,
+        fov_lower=jnp.zeros((b, 2)) - self.fov_width / 2,
+        fov_upper=jnp.zeros((b, 2)) + self.fov_width / 2,
+        goals=jnp.zeros((b, d, 2)),
+        consecutive=jnp.zeros((b, d), jnp.int32),
+        steps=jnp.zeros((b,), jnp.int32),
+        needs_reset=jnp.zeros((b,), bool),
+    )
+    si = self._si_positions(state)  # (B, D, 2)
+
+    # Per-dopant goal: a lattice atom within the goal annulus of that
+    # dopant AND inside the FOV (same law as the single-dopant env,
+    # goals.sample_goal, applied per dopant).
+    world = lattice_lib.world_positions(
+        self.lattice, offset, theta
+    )  # (B, N, 2)
+    lo, hi = goals_lib.GOAL_RANGE_ANGSTROMS
+    in_fov = jnp.all(
+        (world >= state.fov_lower[:, None, :])
+        & (world <= state.fov_upper[:, None, :]),
+        axis=-1,
+    )  # (B, N)
+    dist = jnp.linalg.norm(
+        world[:, None, :, :] - si[:, :, None, :], axis=-1
+    )  # (B, D, N)
+    valid = in_fov[:, None, :] & (dist >= lo) & (dist <= hi)
+    gumbel = jax.random.gumbel(k_goal, valid.shape)
+    choice = jnp.argmax(
+        jnp.where(valid, gumbel, -jnp.inf), axis=-1
+    )  # (B, D)
+    goals = jnp.take_along_axis(
+        world, choice.reshape(b, d)[..., None].repeat(2, -1), axis=1
+    )
+    state = state.replace(goals=goals)
+
+    ts = env_lib.TimeStep(
+        step_type=jnp.full((b,), env_lib.FIRST, jnp.int32),
+        reward=jnp.zeros((b,)),
+        discount=jnp.ones((b,)),
+        observation=self._observation(state),
+        elapsed_seconds=jnp.zeros((b,)),
+    )
+    return state, ts
+
+  # ----------------------------------------------------------------- step
+
+  @functools.partial(jax.jit, static_argnames=())
+  def step(
+      self,
+      state: MultiDopantState,
+      action: jnp.ndarray,
+      key: jax.Array,
+  ) -> Tuple[MultiDopantState, env_lib.TimeStep]:
+    b = self.batch_size
+    k_kmc, k_reset = jax.random.split(key)
+    # Action [-1, 1]^2 -> beam position in the FOV (material frame).
+    frac = (jnp.clip(action, -1.0, 1.0) + 1.0) / 2.0
+    beam = state.fov_lower + frac * (state.fov_upper - state.fov_lower)
+
+    result = kmc.apply_control_multi(
+        k_kmc,
+        self.lattice,
+        state.offset,
+        state.theta,
+        state.si_indices,
+        beam,
+        jnp.full((b,), self.dwell_seconds),
+        self.rate_fn,
+    )
+    elapsed = jnp.full(
+        (b,), self.dwell_seconds + self.image_duration_seconds
+    )
+    new_state = state.replace(
+        si_indices=result.si_indices, steps=state.steps + 1
+    )
+
+    si = self._si_positions(new_state)  # (B, D, 2)
+    goal_radius = constants.CARBON_BOND_DISTANCE_ANGSTROMS * 0.5
+    at_goal = (
+        jnp.linalg.norm(si - new_state.goals, axis=-1) < goal_radius
+    )  # (B, D)
+    consecutive = jnp.where(at_goal, new_state.consecutive + 1, 0)
+    new_state = new_state.replace(consecutive=consecutive)
+
+    all_done = jnp.all(
+        consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS, axis=-1
+    )
+    truncated = new_state.steps >= self.step_limit
+    reward = jnp.where(
+        all_done,
+        jnp.power(constants.GAMMA_PER_SECOND, elapsed),
+        0.0,
+    )
+    discount = jnp.where(
+        all_done,
+        0.0,
+        jnp.power(constants.GAMMA_PER_SECOND, elapsed),
+    )
+    last = all_done | truncated
+    step_type = jnp.where(last, env_lib.LAST, env_lib.MID).astype(
+        jnp.int32
+    )
+    new_state = new_state.replace(needs_reset=last)
+    stepped_ts = env_lib.TimeStep(
+        step_type=step_type,
+        reward=reward,
+        discount=discount,
+        observation=self._observation(new_state),
+        elapsed_seconds=elapsed,
+    )
+
+    # Auto-reset on the step AFTER last (same semantics as
+    # env_lib.PuttingDuneEnv.step): envs flagged needs_reset get a fresh
+    # FIRST timestep instead of being stepped.
+    reset_state, reset_ts = self.reset(k_reset)
+
+    def pick(reset_leaf, stepped_leaf):
+      mask = state.needs_reset.reshape(
+          (self.batch_size,) + (1,) * (stepped_leaf.ndim - 1)
+      )
+      return jnp.where(mask, reset_leaf, stepped_leaf)
+
+    out_state = jax.tree_util.tree_map(pick, reset_state, new_state)
+    ts = jax.tree_util.tree_map(pick, reset_ts, stepped_ts)
+    return out_state, ts

@@ -1,0 +1,91 @@
+"""Multi-dopant env (beyond-parity extension): contract + physics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu.env import env as env_lib
+from putting_dune_tpu.env import multi_dopant
+
+LATTICE = lattice_lib.make_lattice(20)
+
+
+def make_env(batch=8, dopants=3):
+  return multi_dopant.MultiDopantEnv(
+      lattice=LATTICE,
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=batch,
+      num_dopants=dopants,
+      step_limit=50,
+  )
+
+
+def test_reset_contract():
+  env = make_env()
+  state, ts = env.reset(jax.random.PRNGKey(0))
+  assert ts.observation.shape == (8, 12)
+  assert (np.asarray(ts.step_type) == env_lib.FIRST).all()
+  # Dopant sites are distinct within each env.
+  si = np.asarray(state.si_indices)
+  for b in range(si.shape[0]):
+    assert len(set(si[b].tolist())) == 3
+  # Goals are valid lattice atoms in the annulus.
+  obs = np.asarray(ts.observation).reshape(8, 3, 4)
+  delta = np.linalg.norm(obs[..., 2:], axis=-1)
+  assert (delta >= 0.1 - 1e-6).all() and (delta <= 50.0 + 1e-6).all()
+
+
+def test_step_moves_dopants_and_keeps_them_distinct():
+  env = make_env(batch=16, dopants=2)
+  state, ts = env.reset(jax.random.PRNGKey(1))
+
+  @jax.jit
+  def run(state, ts, key):
+    def body(carry, _):
+      state, ts, key = carry
+      key, k_act, k_step = jax.random.split(key, 3)
+      # Aim the beam at dopant 0's goal direction (rough heuristic).
+      action = jax.random.uniform(k_act, (16, 2), minval=-1, maxval=1)
+      state, ts = env.step(state, action, k_step)
+      distinct = state.si_indices[:, 0] != state.si_indices[:, 1]
+      return (state, ts, key), (ts.step_type, distinct,
+                                state.si_indices)
+
+    (state, ts, key), (types, distinct, sites) = jax.lax.scan(
+        body, (state, ts, jax.random.PRNGKey(2)), None, length=60
+    )
+    return state, types, distinct, sites
+
+  state, types, distinct, sites = run(state, ts, jax.random.PRNGKey(2))
+  # Dopants never collide.
+  assert np.asarray(distinct).all()
+  # Transitions actually happen (sites change over the rollout).
+  sites = np.asarray(sites)
+  assert (sites[0] != sites[-1]).any()
+  # Step limit of 50 forces LAST steps inside a 60-step rollout.
+  assert (np.asarray(types) == env_lib.LAST).any()
+  # After LAST, envs auto-reset to FIRST on the next step.
+  types = np.asarray(types)
+  last_steps = np.argwhere(types == env_lib.LAST)
+  t, b = last_steps[0]
+  if t + 1 < types.shape[0]:
+    assert types[t + 1, b] == env_lib.FIRST
+
+
+def test_terminal_reward_when_all_reach_goals():
+  env = make_env(batch=4, dopants=2)
+  state, ts = env.reset(jax.random.PRNGKey(3))
+  # Force goals equal to current positions -> immediate terminal.
+  si = lattice_lib.site_position(
+      env.lattice, state.si_indices, state.offset, state.theta
+  )
+  state = state.replace(goals=si)
+  # Beam at the far FOV corner: transition rates are ~0 there, so the
+  # dopants stay put and the at-goal check fires.
+  action = -jnp.ones((4, 2))
+  state, ts = env.step(state, action, jax.random.PRNGKey(4))
+  assert (np.asarray(ts.step_type) == env_lib.LAST).all()
+  assert (np.asarray(ts.reward) > 0.9).all()
+  assert (np.asarray(ts.discount) == 0.0).all()
