@@ -19,7 +19,7 @@ pairs, flattened: (D * 4,) in the material frame.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
