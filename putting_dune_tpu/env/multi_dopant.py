@@ -95,6 +95,18 @@ class MultiDopantEnv(struct.PyTreeNode):
   def observation_size(self) -> int:
     return self.num_dopants * 4
 
+  def action_spec(self):
+    from putting_dune_tpu.env import action_adapters
+
+    return action_adapters.ActionSpec(
+        shape=(2,), minimum=-1.0, maximum=1.0
+    )
+
+  def observation_spec(self):
+    from putting_dune_tpu.env import features as features_lib
+
+    return features_lib.FeatureSpec(shape=(self.observation_size(),))
+
   # ------------------------------------------------------------- plumbing
 
   def _si_positions(self, state: MultiDopantState) -> jnp.ndarray:

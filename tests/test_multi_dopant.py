@@ -89,3 +89,20 @@ def test_terminal_reward_when_all_reach_goals():
   assert (np.asarray(ts.step_type) == env_lib.LAST).all()
   assert (np.asarray(ts.reward) > 0.9).all()
   assert (np.asarray(ts.discount) == 0.0).all()
+
+
+def test_ppo_trains_on_multi_dopant_env():
+  """The PPO trainer runs unchanged on the multi-dopant env."""
+  from putting_dune_tpu.agents import ppo
+
+  env = make_env(batch=16, dopants=2)
+  config = ppo.PPOConfig(
+      num_updates=2,
+      rollout_length=8,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(16,),
+  )
+  train, _ = ppo.make_train(env, config)
+  _, metrics = train(jax.random.PRNGKey(0))
+  assert np.isfinite(np.asarray(metrics['loss'])).all()
