@@ -218,3 +218,21 @@ def test_fast_poisson_matches_exact_statistics():
         lam_value, counts.var()
     )
     assert counts.min() >= 0
+
+
+def test_clahe_fused_nondefault_grid_and_bins():
+  """Fused kernel handles non-default grid sizes and bin counts."""
+  key = jax.random.PRNGKey(33)
+  img = jax.random.uniform(key, (2, 64, 64))
+  for grid_size, nbins in ((4, 256), (8, 128)):
+    ref = np.asarray(
+        clahe_lib.equalize_adapthist(
+            img, backend='xla', grid_size=grid_size, nbins=nbins
+        )
+    )
+    fused = np.asarray(
+        clahe_lib.equalize_adapthist(
+            img, backend='pallas_fused', grid_size=grid_size, nbins=nbins
+        )
+    )
+    assert np.abs(fused - ref).max() < 4e-3, (grid_size, nbins)
