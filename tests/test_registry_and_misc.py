@@ -79,3 +79,39 @@ def test_dm_env_wrapper_render():
   frame = env.render()
   assert frame.ndim == 3 and frame.shape[-1] == 3
   assert frame.dtype == np.uint8
+
+
+def test_shipped_policy_checkpoints_load_and_reach_goals():
+  """The model_weights checkpoints (native replacements for the
+  reference's GCS TF agents) load through the registry and perform."""
+  import os
+
+  import numpy as np
+
+  from putting_dune_tpu import eval_lib, run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights'
+  )
+  if not os.path.isdir(os.path.join(weights, '230127_from_state_2s')):
+    import pytest
+
+    pytest.skip('policy weights not shipped yet')
+
+  exp = registry.create_microscope_experiment('ppo_learned_tf_2s')
+  agent = exp.get_agent(
+      np.random.default_rng(0), exp.get_adapters_and_goal()
+  )
+  env = run_helpers.create_batched_env(
+      exp.get_adapters_and_goal,
+      registry.create_eval_experiment(
+          'relative_random_prior_rates'
+      ).get_simulator_config,
+      batch_size=4,
+  )
+  results = eval_lib.evaluate_batched(
+      env, agent.policy(), list(range(4)), max_steps=200
+  )
+  agg = eval_lib.aggregate_results(results)
+  assert agg.average_num_times_reached_goal >= 0.75
