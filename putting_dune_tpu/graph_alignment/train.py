@@ -160,11 +160,29 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
   return state
 
 
+def save_params_msgpack(params, workdir: str) -> str:
+  """Writes a params-only artifact (what ships under model_weights)."""
+  import flax.serialization
+
+  path = os.path.join(workdir, 'params.msgpack')
+  with open(path, 'wb') as f:
+    f.write(flax.serialization.to_bytes(jax.device_get(params)))
+  return path
+
+
 def load_params(workdir: str, config: Optional[Config] = None):
+  """Restores params: params.msgpack if present, else best orbax ckpt."""
   import orbax.checkpoint as ocp
 
   if config is None:
     config = Config(workdir=workdir)
+  msgpack_path = os.path.join(workdir, 'params.msgpack')
+  if os.path.exists(msgpack_path):
+    import flax.serialization
+
+    state = create_state(config)
+    with open(msgpack_path, 'rb') as f:
+      return flax.serialization.from_bytes(state.params, f.read())
   manager = ocp.CheckpointManager(
       os.path.abspath(os.path.join(workdir, 'checkpoints')),
       options=ocp.CheckpointManagerOptions(
