@@ -177,3 +177,36 @@ def test_image_aligner_mechanics():
     assert probs.shape == (32, 32, 3)
     assert drift.shape == (2,)
     assert isinstance(grid, md.AtomicGrid)
+
+
+def test_shipped_detector_finds_silicon():
+  """The shipped atom_detector checkpoint localizes the dopant."""
+  import os
+
+  import numpy as np
+  import pytest
+
+  from putting_dune_tpu import constants
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu.atom_detection import data as det_data
+  from putting_dune_tpu.atom_detection import inference as det_inf
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'atom_detector'
+  )
+  if not os.path.exists(os.path.join(weights, 'params.msgpack')):
+    pytest.skip('detector weights not shipped yet')
+
+  detector = det_inf.AtomDetector.from_checkpoint(weights, image_size=256)
+  lat = lattice_lib.make_lattice(50)
+  found = 0
+  for seed in range(3):
+    batch = det_data.sample_batch(
+        jax.random.PRNGKey(seed), lat, batch_size=1, image_size=256
+    )
+    grid = detector(np.asarray(batch['image'][0, ..., 0]))
+    found += int(
+        (np.asarray(grid.atomic_numbers) == constants.SILICON).any()
+    )
+  assert found >= 2
