@@ -110,8 +110,16 @@ def equalize_adapthist(
   ):
     from putting_dune_tpu.ops import clahe_fused_pallas
 
+    # Tile-layout bins (unpadded) for the histogram phase — the padded
+    # dual-block layout is only needed for the interpolation phase.
+    tiles = (
+        bins.reshape(b, g, th, g, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, g * g, th * tw)
+    )
     out_blocks = clahe_fused_pallas.clahe_fused(
         blocks,
+        tiles,
         wgt,
         g=g,
         th=th,

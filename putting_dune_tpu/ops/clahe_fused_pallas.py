@@ -25,9 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(
     blocks_ref,  # (IMG, G1*G1, P) int32 dual-block pixel bins
+    tiles_ref,  # (IMG, G*G, P) int32 tile-layout pixel bins (no padding)
     wgt_ref,  # (P, 4) f32 bilinear weights
     out_ref,  # (IMG, G1*G1, P) f32
-    q_ref,  # scratch (G1*G1, 2, 2, V) f32 per-block quadrant histograms
+    hist_ref,  # scratch (G*G, V) f32 per-tile histograms
     luts_ref,  # scratch (4, G1*G1, V) f32 corner LUTs, corner-major
     *,
     g: int,
@@ -51,11 +52,13 @@ def _kernel(
   p = th * tw
   npx = float(th * tw)
 
-  # Slice size: largest divisor of K whose (slc, P, V) int8 compare temp
-  # stays within ~4 MB, so big tiles (256^2 images) still fit VMEM.
+  t = g * g
+  # Slice size: largest divisor of the tile count whose (slc, P, V) int8
+  # compare temp stays within ~3 MB, so big tiles (256^2 images) still
+  # fit VMEM.
   slc = 1
-  for cand in range(k, 0, -1):
-    if k % cand == 0 and cand * p * nbins <= 4 * 2**20:
+  for cand in range(t, 0, -1):
+    if t % cand == 0 and cand * p * nbins <= 3 * 2**20:
       slc = cand
       break
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
@@ -67,35 +70,23 @@ def _kernel(
   wgt_t = wgt_ref[:, :].T  # (4, P)
 
   def process_image(img: int) -> None:
-    # ---- phase 1: per-block quadrant histograms via slab sums ----
-    # Quadrants are contiguous half-row/half-col slabs of the row-major
-    # (th, tw) block, so their sums are plain reductions over non-minor
-    # axes, sliced over blocks for bigger vector ops per iteration. int8
-    # one-hots with int32 accumulation are exact.
+    # ---- phase 1: per-tile histograms straight from the tile layout ----
+    # The dual-block (half-tile-offset) layout is only needed for the
+    # interpolation phase; histograms come from the UNPADDED tile view —
+    # 21% fewer compares than histogramming the padded dual blocks, and
+    # no quadrant bookkeeping. int8 one-hots + int32 sums are exact.
     # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
     # the mask build + low-M dots cost more than the saved compares.)
-    for a in range(0, k, slc):
+    for a in range(0, t, slc):
       oh = (
-          blocks_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
+          tiles_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
       ).astype(jnp.int8)  # (slc, P, V)
-      q_ref[a:a + slc] = jnp.sum(
-          oh.reshape(slc, 2, th // 2, 2, tw // 2, nbins),
-          axis=(2, 4),
-          dtype=jnp.int32,
-      ).astype(jnp.float32)  # (slc, 2, 2, V); [r, c]: r=0 top rows.
-
-    q = q_ref[:, :, :, :].reshape(g1, g1, 2, 2, nbins)
-    # Tile (ti, tj) = BR of dual (ti, tj) + BL of dual (ti, tj+1)
-    # + TR of dual (ti+1, tj) + TL of dual (ti+1, tj+1).
-    hist = (
-        q[:g, :g, 1, 1]
-        + q[:g, 1:, 1, 0]
-        + q[1:, :g, 0, 1]
-        + q[1:, 1:, 0, 0]
-    )  # (g, g, V)
+      hist_ref[a:a + slc] = jnp.sum(
+          oh, axis=1, dtype=jnp.int32
+      ).astype(jnp.float32)  # (slc, V)
 
     # ---- phase 2: clip + redistribute + cdf ----
-    hist = hist.reshape(g * g, nbins)
+    hist = hist_ref[:, :]
     clim = max(clip_limit * npx, 1.0)
     excess = jnp.sum(
         jnp.maximum(hist - clim, 0.0), axis=-1, keepdims=True
@@ -157,6 +148,7 @@ def _kernel(
 )
 def clahe_fused(
     blocks: jnp.ndarray,  # (B, (g+1)^2, th*tw) int32 dual-block bins
+    tiles: jnp.ndarray,  # (B, g^2, th*tw) int32 tile-layout bins
     weights: jnp.ndarray,  # (th*tw, 4) f32 bilinear weights
     *,
     g: int,
@@ -185,14 +177,16 @@ def clahe_fused(
       in_specs=[
           pl.BlockSpec((img, k, p), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
+          pl.BlockSpec((img, g * g, p), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
           pl.BlockSpec((p, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((img, k, p), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, k, p), jnp.float32),
       scratch_shapes=[
-          pltpu.VMEM((k, 2, 2, nbins), jnp.float32),
+          pltpu.VMEM((g * g, nbins), jnp.float32),
           pltpu.VMEM((4, k, nbins), jnp.float32),
       ],
       interpret=interpret,
-  )(blocks, weights)
+  )(blocks, tiles, weights)
