@@ -37,6 +37,7 @@ from putting_dune_tpu import rates as rates_lib
 from putting_dune_tpu import simulator as simulator_lib
 from putting_dune_tpu import structures
 from putting_dune_tpu.env import action_adapters
+from putting_dune_tpu.imaging import render as imaging_render
 from putting_dune_tpu.env import features as features_lib
 from putting_dune_tpu.env import goals as goals_lib
 
@@ -107,16 +108,23 @@ class PuttingDuneEnv:
 
   # -- internals ------------------------------------------------------------
 
-  def _fresh_state_and_obs(self, key: jax.Array):
-    """Builds a freshly-reset state + initial observation for all envs."""
+  def _fresh_state_and_obs(self, key: jax.Array, render_image: bool = True):
+    """Builds a freshly-reset state + initial observation for all envs.
+
+    render_image=False skips the STEM render (the window is still
+    returned when image features are in use, so the caller can render
+    once after per-env branch selection — see step()).
+    """
     k_sim, k_goal, k_adapter = jax.random.split(key, 3)
     sim_state, obs = simulator_lib.reset(
         k_sim,
         self.lattice,
         config=self.config.sim,
         batch_size=self.batch_size,
-        return_window=self.features.requires_window,
-        return_image=self.features.requires_image,
+        return_window=(
+            self.features.requires_window or self.features.requires_image
+        ),
+        return_image=self.features.requires_image and render_image,
     )
     goal = goals_lib.sample_goal(
         k_goal, self.lattice, sim_state.material, sim_state.fov
@@ -172,6 +180,9 @@ class PuttingDuneEnv:
     adapter_state, control = self.adapter.to_controls(
         state.adapter_state, ctx, action
     )
+    # The image is rendered ONCE at the end of step(), after per-env
+    # branch selection — rendering in both the stepped and reset branches
+    # would double the dominant cost of image-observation envs.
     sim_state, obs, _ = simulator_lib.step(
         state.sim,
         k_step,
@@ -179,8 +190,10 @@ class PuttingDuneEnv:
         self.lattice,
         self.rate_fn,
         config=self.config.sim,
-        return_window=self.features.requires_window,
-        return_image=self.features.requires_image,
+        return_window=(
+            self.features.requires_window or self.features.requires_image
+        ),
+        return_image=False,
     )
     si_material = obs.fov.microscope_to_material(obs.si_position_microscope)
     new_goal, goal_ret = goals_lib.reward_and_terminal(
@@ -208,17 +221,11 @@ class PuttingDuneEnv:
         step_count=step_count,
         needs_reset=jnp.logical_or(terminal, truncated),
     )
-    stepped_ts = TimeStep(
-        step_type=step_type,
-        reward=goal_ret.reward,
-        discount=discount,
-        observation=self.features(obs, new_goal),
-        elapsed_seconds=obs.elapsed_seconds,
-    )
-
     # ---- reset branch (fresh episodes for envs flagged needs_reset) -------
-    reset_state, reset_obs = self._fresh_state_and_obs(k_reset)
-    reset_ts = self._first_timestep(reset_obs, reset_state.goal)
+    k_reset, k_img = jax.random.split(k_reset)
+    reset_state, reset_obs = self._fresh_state_and_obs(
+        k_reset, render_image=False
+    )
 
     # ---- select per env ---------------------------------------------------
     def pick(reset_leaf, stepped_leaf):
@@ -228,7 +235,35 @@ class PuttingDuneEnv:
       return jnp.where(mask, reset_leaf, stepped_leaf)
 
     new_state = jax.tree_util.tree_map(pick, reset_state, stepped_state)
-    ts = jax.tree_util.tree_map(pick, reset_ts, stepped_ts)
+    # Raw observations are selected BEFORE feature construction and
+    # rendering so the expensive image render happens exactly once.
+    picked_obs = jax.tree_util.tree_map(
+        pick, reset_obs, obs.replace(last_controls=None)
+    )
+    if self.features.requires_image:
+      image = imaging_render.render_stem_image(
+          k_img,
+          picked_obs.window,
+          picked_obs.fov,
+          new_state.sim.imaging,
+          image_size=self.config.sim.image_size,
+      )
+      picked_obs = picked_obs.replace(image=image)
+    observation = self.features(picked_obs, new_state.goal)
+
+    reset_discount = jnp.power(
+        constants.GAMMA_PER_SECOND, reset_obs.elapsed_seconds
+    ).astype(jnp.float32)
+    mask = state.needs_reset
+    ts = TimeStep(
+        step_type=jnp.where(
+            mask, jnp.full_like(step_type, FIRST), step_type
+        ),
+        reward=jnp.where(mask, 0.0, goal_ret.reward),
+        discount=jnp.where(mask, reset_discount, discount),
+        observation=observation,
+        elapsed_seconds=picked_obs.elapsed_seconds,
+    )
     return new_state, ts
 
   # -- specs ----------------------------------------------------------------
