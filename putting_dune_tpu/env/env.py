@@ -121,8 +121,8 @@ class PuttingDuneEnv:
         self.lattice,
         config=self.config.sim,
         batch_size=self.batch_size,
-        return_window=(
-            self.features.requires_window or self.features.requires_image
+        return_window=self.features.requires_window or (
+            self.features.requires_image and render_image
         ),
         return_image=self.features.requires_image and render_image,
     )
@@ -180,9 +180,10 @@ class PuttingDuneEnv:
     adapter_state, control = self.adapter.to_controls(
         state.adapter_state, ctx, action
     )
-    # The image is rendered ONCE at the end of step(), after per-env
-    # branch selection — rendering in both the stepped and reset branches
-    # would double the dominant cost of image-observation envs.
+    # The atom window and the image are computed ONCE at the end of
+    # step(), after per-env branch selection — computing them in both the
+    # stepped and reset branches would double the dominant costs of
+    # image-observation envs.
     sim_state, obs, _ = simulator_lib.step(
         state.sim,
         k_step,
@@ -190,9 +191,7 @@ class PuttingDuneEnv:
         self.lattice,
         self.rate_fn,
         config=self.config.sim,
-        return_window=(
-            self.features.requires_window or self.features.requires_image
-        ),
+        return_window=self.features.requires_window,
         return_image=False,
     )
     si_material = obs.fov.microscope_to_material(obs.si_position_microscope)
@@ -241,14 +240,20 @@ class PuttingDuneEnv:
         pick, reset_obs, obs.replace(last_controls=None)
     )
     if self.features.requires_image:
+      window = simulator_lib.atom_window(
+          self.lattice,
+          new_state.sim.material,
+          new_state.sim.fov,
+          self.config.sim.window_capacity,
+      )
       image = imaging_render.render_stem_image(
           k_img,
-          picked_obs.window,
-          picked_obs.fov,
+          window,
+          new_state.sim.fov,
           new_state.sim.imaging,
           image_size=self.config.sim.image_size,
       )
-      picked_obs = picked_obs.replace(image=image)
+      picked_obs = picked_obs.replace(image=image, window=window)
     observation = self.features(picked_obs, new_state.goal)
 
     reset_discount = jnp.power(
