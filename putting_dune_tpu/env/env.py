@@ -221,9 +221,19 @@ class PuttingDuneEnv:
         needs_reset=jnp.logical_or(terminal, truncated),
     )
     # ---- reset branch (fresh episodes for envs flagged needs_reset) -------
+    # lax.cond skips the whole fresh-reset computation (FOV/goal/imaging
+    # sampling, window) on steps where no env finished — the common case.
     k_reset, k_img = jax.random.split(k_reset)
-    reset_state, reset_obs = self._fresh_state_and_obs(
-        k_reset, render_image=False
+    stepped_obs = obs.replace(last_controls=None)
+
+    def make_reset(_):
+      return self._fresh_state_and_obs(k_reset, render_image=False)
+
+    def no_reset(_):
+      return stepped_state, stepped_obs
+
+    reset_state, reset_obs = jax.lax.cond(
+        jnp.any(state.needs_reset), make_reset, no_reset, operand=None
     )
 
     # ---- select per env ---------------------------------------------------
@@ -236,9 +246,7 @@ class PuttingDuneEnv:
     new_state = jax.tree_util.tree_map(pick, reset_state, stepped_state)
     # Raw observations are selected BEFORE feature construction and
     # rendering so the expensive image render happens exactly once.
-    picked_obs = jax.tree_util.tree_map(
-        pick, reset_obs, obs.replace(last_controls=None)
-    )
+    picked_obs = jax.tree_util.tree_map(pick, reset_obs, stepped_obs)
     if self.features.requires_image:
       window = simulator_lib.atom_window(
           self.lattice,
