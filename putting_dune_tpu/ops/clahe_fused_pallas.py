@@ -2,12 +2,15 @@
 
 The XLA formulation (imaging/clahe.py) is HBM-traffic-bound: the
 (pixels x bins) one-hot is materialized (~1 GB per 256-frame batch) and
-read twice. This kernel keeps everything per-image in VMEM: per dual
-block it builds a one-hot once for the quadrant histogram sums, computes
-clip + cdf with a triangular matmul, and remaps pixels through the four
-corner LUTs with native lane gathers (Mosaic lowers take_along_axis when
-the gather dimension fits one 128-lane vreg, so each LUT is gathered in
-128-bin segments + select). HBM traffic is bins in + pixels out.
+read twice. This kernel keeps everything per-image in VMEM: per-tile
+histograms come from one-hot compares over the UNPADDED tile layout,
+clip + cdf run as a triangular matmul, and every pixel of the
+dual-block (half-tile-offset) layout is remapped through its four
+corner LUTs with native lane gathers (Mosaic lowers take_along_axis
+when the gather dimension fits one 128-lane vreg, so each LUT is
+gathered in 128-bin segments + select). HBM traffic is bins in +
+pixels out. Measured 3.6 ms per 256-frame 128x128 round on a v5e —
+2.3x the XLA path.
 
 Semantics identical to imaging.clahe.equalize_adapthist; the LUT lookup
 here is exact f32 (the XLA path quantizes the LUT matmul to bf16 on TPU).
