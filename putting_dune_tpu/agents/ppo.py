@@ -154,12 +154,15 @@ def make_train_fns(
             config.reward_shaping_coef
             / _constants.CARBON_BOND_DISTANCE_ANGSTROMS
         )
-        phi_s = -coef * jnp.linalg.norm(
-            _goal_delta(ts.observation), axis=-1
-        )
-        phi_sp = -coef * jnp.linalg.norm(
-            _goal_delta(next_ts.observation), axis=-1
-        )
+        # Envs may define their own potential distance (e.g. the
+        # multi-dopant env sums per-dopant goal distances); default is
+        # the trailing goal-delta feature.
+        if hasattr(env, 'shaping_distance'):
+          dist = env.shaping_distance
+        else:
+          dist = lambda o: jnp.linalg.norm(_goal_delta(o), axis=-1)
+        phi_s = -coef * dist(ts.observation)
+        phi_sp = -coef * dist(next_ts.observation)
         # Skip shaping across auto-reset boundaries (s' belongs to the
         # next episode there); terminal discount=0 drops phi(s') itself.
         shaped = next_ts.discount * phi_sp - phi_s

@@ -89,6 +89,7 @@ class MultiDopantEnv(struct.PyTreeNode):
   )
   fov_width: float = struct.field(pytree_node=False, default=25.0)
   step_limit: int = struct.field(pytree_node=False, default=600)
+  sticky_goals: bool = struct.field(pytree_node=False, default=True)
 
   # ---------------------------------------------------------------- specs
 
@@ -107,6 +108,12 @@ class MultiDopantEnv(struct.PyTreeNode):
 
     return features_lib.FeatureSpec(shape=(self.observation_size(),))
 
+  def shaping_distance(self, obs: jnp.ndarray) -> jnp.ndarray:
+    """Potential distance for reward shaping: sum of per-dopant goal
+    distances (latched dopants contribute 0 — their delta reads zero)."""
+    per = obs.reshape(obs.shape[0], self.num_dopants, 4)
+    return jnp.sum(jnp.linalg.norm(per[..., 2:4], axis=-1), axis=-1)
+
   # ------------------------------------------------------------- plumbing
 
   def _si_positions(self, state: MultiDopantState) -> jnp.ndarray:
@@ -118,6 +125,12 @@ class MultiDopantEnv(struct.PyTreeNode):
   def _observation(self, state: MultiDopantState) -> jnp.ndarray:
     si = self._si_positions(state)
     delta = state.goals - si
+    if self.sticky_goals:
+      # Latched goals read as zero delta — "nothing left to do here".
+      latched = (
+          state.consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS
+      )
+      delta = jnp.where(latched[..., None], 0.0, delta)
     return jnp.concatenate([si, delta], axis=-1).reshape(
         self.batch_size, -1
     )
@@ -223,7 +236,17 @@ class MultiDopantEnv(struct.PyTreeNode):
     at_goal = (
         jnp.linalg.norm(si - new_state.goals, axis=-1) < goal_radius
     )  # (B, D)
-    consecutive = jnp.where(at_goal, new_state.consecutive + 1, 0)
+    if self.sticky_goals:
+      # A dopant's goal LATCHES once reached (the beam then works on the
+      # others) — without latching, all D dopants must sit on their
+      # goals at the same step under a single beam, which is nearly
+      # unlearnable from scratch.
+      consecutive = jnp.maximum(
+          new_state.consecutive,
+          jnp.where(at_goal, new_state.consecutive + 1, 0),
+      )
+    else:
+      consecutive = jnp.where(at_goal, new_state.consecutive + 1, 0)
     new_state = new_state.replace(consecutive=consecutive)
 
     all_done = jnp.all(
