@@ -90,6 +90,15 @@ class MultiDopantEnv(struct.PyTreeNode):
   fov_width: float = struct.field(pytree_node=False, default=25.0)
   step_limit: int = struct.field(pytree_node=False, default=600)
   sticky_goals: bool = struct.field(pytree_node=False, default=True)
+  # 'relative': action is a beam offset from the first unlatched dopant
+  # (in units of max_distance_angstroms), mirroring the single-dopant
+  # RelativeToSilicon adapter — random exploration lands near a dopant
+  # and causes transitions. 'absolute': action maps onto the whole FOV.
+  action_mode: str = struct.field(pytree_node=False, default='relative')
+  max_distance_angstroms: float = struct.field(
+      pytree_node=False,
+      default=2.0 * constants.CARBON_BOND_DISTANCE_ANGSTROMS,
+  )
 
   # ---------------------------------------------------------------- specs
 
@@ -210,9 +219,20 @@ class MultiDopantEnv(struct.PyTreeNode):
   ) -> Tuple[MultiDopantState, env_lib.TimeStep]:
     b = self.batch_size
     k_kmc, k_reset = jax.random.split(key)
-    # Action [-1, 1]^2 -> beam position in the FOV (material frame).
-    frac = (jnp.clip(action, -1.0, 1.0) + 1.0) / 2.0
-    beam = state.fov_lower + frac * (state.fov_upper - state.fov_lower)
+    action = jnp.clip(action, -1.0, 1.0)
+    if self.action_mode == 'relative':
+      # Beam offset from the first unlatched dopant.
+      latched = (
+          state.consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS
+      )
+      pick_d = jnp.argmax(jnp.logical_not(latched), axis=-1)  # (B,)
+      si = self._si_positions(state)  # (B, D, 2)
+      anchor = si[jnp.arange(b), pick_d]  # (B, 2)
+      beam = anchor + action * self.max_distance_angstroms
+    else:
+      # Action [-1, 1]^2 -> beam position in the FOV (material frame).
+      frac = (action + 1.0) / 2.0
+      beam = state.fov_lower + frac * (state.fov_upper - state.fov_lower)
 
     result = kmc.apply_control_multi(
         k_kmc,

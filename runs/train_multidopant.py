@@ -12,6 +12,10 @@ env = multi_dopant.MultiDopantEnv(
     rate_fn=rates_lib.simple_canonical_rates,
     batch_size=1024,
     num_dopants=2,
+    # 5 s dwell (the reference's greedy experiments' setting): at 1.5 s a
+    # hop needs ~4 beam placements, which is too weak a signal for PPO to
+    # bootstrap on the joint 2-goal task.
+    dwell_seconds=5.0,
 )
 config = ppo.PPOConfig(
     num_updates=600, rollout_length=64, reward_shaping_coef=0.05

@@ -12,13 +12,14 @@ from putting_dune_tpu.env import multi_dopant
 LATTICE = lattice_lib.make_lattice(20)
 
 
-def make_env(batch=8, dopants=3):
+def make_env(batch=8, dopants=3, **kwargs):
   return multi_dopant.MultiDopantEnv(
       lattice=LATTICE,
       rate_fn=rates_lib.simple_canonical_rates,
       batch_size=batch,
       num_dopants=dopants,
       step_limit=50,
+      **kwargs,
   )
 
 
@@ -75,7 +76,7 @@ def test_step_moves_dopants_and_keeps_them_distinct():
 
 
 def test_terminal_reward_when_all_reach_goals():
-  env = make_env(batch=4, dopants=2)
+  env = make_env(batch=4, dopants=2, action_mode='absolute')
   state, ts = env.reset(jax.random.PRNGKey(3))
   # Force goals equal to current positions -> immediate terminal.
   si = lattice_lib.site_position(
