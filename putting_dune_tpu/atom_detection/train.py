@@ -135,16 +135,23 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
     state = manager.restore(latest, args=ocp.args.StandardRestore(state))
     start_epoch = latest + 1
 
+  # Multi-process: each process generates its share of the global batch
+  # from a disjoint RNG stream, then assembles host-local arrays into
+  # global batch-sharded arrays (reference: grain.ShardByJaxProcess,
+  # atom_detection/dataset.py:100,111 + host_local_array_to_global_array,
+  # image_alignment/train.py:384-391). Single-process this reduces exactly
+  # to the plain shard_batch path.
+  local_batch = mesh_lib.process_local_batch_size(config.batch_size)
   train_iter = data_lib.dataset_iterator(
-      config.seed,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed),
+      batch_size=local_batch,
       image_size=config.image_size,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
   )
   eval_iter = data_lib.dataset_iterator(
-      config.seed + 1,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed + 1),
+      batch_size=local_batch,
       image_size=config.image_size,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
@@ -153,14 +160,14 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
   for epoch in range(start_epoch, config.epochs):
     metrics_acc = []
     for _ in range(config.steps_per_epoch):
-      batch = mesh_lib.shard_batch(next(train_iter), mesh)
+      batch = mesh_lib.global_batch(next(train_iter), mesh)
       state, metrics = train_step(
           state, batch, class_weights=config.class_weights
       )
       metrics_acc.append(metrics)
     eval_accs = []
     for _ in range(config.eval_steps):
-      batch = mesh_lib.shard_batch(next(eval_iter), mesh)
+      batch = mesh_lib.global_batch(next(eval_iter), mesh)
       eval_accs.append(eval_step(state, batch))
     summary = {
         'loss': float(
@@ -217,3 +224,14 @@ def load_params(workdir: str, config: Optional[Config] = None):
   state = create_state(config)
   state = manager.restore(step, args=ocp.args.StandardRestore(state))
   return state.params
+
+
+if __name__ == '__main__':
+  from putting_dune_tpu.utils import cli
+
+  cli.run_train_cli(
+      Config,
+      train,
+      'Train the atom-detection UNet (single-host or multi-process; '
+      'reference atom_detection/train.py:294).',
+  )

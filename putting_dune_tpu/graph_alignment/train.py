@@ -127,27 +127,30 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
     state = manager.restore(latest, args=ocp.args.StandardRestore(state))
     start_epoch = latest + 1
 
+  # Per-process generated-data shards + global batch assembly; see
+  # parallel/mesh.py (multi-process support).
+  local_batch = mesh_lib.process_local_batch_size(config.batch_size)
   train_iter = data_lib.dataset_iterator(
-      config.seed,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed),
+      batch_size=local_batch,
       num_frames=config.num_frames,
       capacity=config.capacity,
       grid_columns=config.grid_columns,
   )
   eval_iter = data_lib.dataset_iterator(
-      config.seed + 1,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed + 1),
+      batch_size=local_batch,
       num_frames=config.num_frames,
       capacity=config.capacity,
       grid_columns=config.grid_columns,
   )
   for epoch in range(start_epoch, config.epochs):
     for _ in range(config.steps_per_epoch):
-      batch = mesh_lib.shard_batch(next(train_iter), mesh)
+      batch = mesh_lib.global_batch(next(train_iter), mesh)
       state, metrics = train_step(state, batch)
     evals = []
     for _ in range(config.eval_steps):
-      batch = mesh_lib.shard_batch(next(eval_iter), mesh)
+      batch = mesh_lib.global_batch(next(eval_iter), mesh)
       evals.append(eval_step(state, batch))
     summary = {
         k: float(np.mean([jax.device_get(e[k]) for e in evals]))
@@ -195,3 +198,14 @@ def load_params(workdir: str, config: Optional[Config] = None):
   state = create_state(config)
   state = manager.restore(step, args=ocp.args.StandardRestore(state))
   return state.params
+
+
+if __name__ == '__main__':
+  from putting_dune_tpu.utils import cli
+
+  cli.run_train_cli(
+      Config,
+      train,
+      'Train the GNN point-cloud aligner (single-host or multi-process; '
+      'reference graph_alignment/train.py).',
+  )

@@ -157,17 +157,21 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
     state = manager.restore(latest, args=ocp.args.StandardRestore(state))
     start_epoch = latest + 1
 
+  # Per-process generated-data shards + global batch assembly; see
+  # parallel/mesh.py (multi-process support). Single-process this is the
+  # plain shard_batch path.
+  local_batch = mesh_lib.process_local_batch_size(config.batch_size)
   train_iter = data_lib.dataset_iterator(
-      config.seed,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed),
+      batch_size=local_batch,
       image_size=config.image_size,
       num_frames=config.num_frames,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
   )
   eval_iter = data_lib.dataset_iterator(
-      config.seed + 1,
-      batch_size=config.batch_size,
+      mesh_lib.process_data_seed(config.seed + 1),
+      batch_size=local_batch,
       image_size=config.image_size,
       num_frames=config.num_frames,
       grid_columns=config.grid_columns,
@@ -176,7 +180,7 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
 
   for epoch in range(start_epoch, config.epochs):
     for _ in range(config.steps_per_epoch):
-      batch = mesh_lib.shard_batch(next(train_iter), mesh)
+      batch = mesh_lib.global_batch(next(train_iter), mesh)
       state, metrics = train_step(
           state,
           batch,
@@ -186,7 +190,7 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
       )
     evals = []
     for _ in range(config.eval_steps):
-      batch = mesh_lib.shard_batch(next(eval_iter), mesh)
+      batch = mesh_lib.global_batch(next(eval_iter), mesh)
       evals.append(
           eval_step(state, batch, config.num_frames, config.final_step_only)
       )
@@ -236,3 +240,14 @@ def load_params(workdir: str, config: Optional[Config] = None):
   state = create_state(config)
   state = manager.restore(step, args=ocp.args.StandardRestore(state))
   return state.params
+
+
+if __name__ == '__main__':
+  from putting_dune_tpu.utils import cli
+
+  cli.run_train_cli(
+      Config,
+      train,
+      'Train the image-alignment drift network (single-host or '
+      'multi-process; reference image_alignment/train.py).',
+  )

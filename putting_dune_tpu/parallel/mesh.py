@@ -70,3 +70,104 @@ def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
     return jax.device_put(x, batch if shardable else replicated)
 
   return jax.tree_util.tree_map(put, tree)
+
+
+# --- multi-process (multi-host) support --------------------------------------
+#
+# On a TPU pod slice JAX runs one process per host, each owning its local
+# chips; `jax.distributed.initialize` wires them into one logical runtime.
+# The reference's equivalents: per-process dataset shards
+# (grain.ShardByJaxProcess, atom_detection/dataset.py:100,111;
+# image_alignment/dataset.py:127,144-147) and host-local -> global array
+# assembly (multihost_utils.host_local_array_to_global_array,
+# image_alignment/train.py:384-391). This framework generates training data
+# on device, so "dataset sharding" is RNG-stream sharding: each process
+# folds its process_index into the data key and generates
+# global_batch // process_count examples.
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+  """Entry hook for multi-process runs (one call per train CLI, before any
+  device use).
+
+  With explicit args, wires this process into the multi-process runtime.
+  With no args it defers to environment autodetection (TPU pod metadata /
+  cluster env vars) and is a silent no-op when none is present or when the
+  runtime is already initialized — so single-host invocations need no
+  special-casing.
+  """
+  try:
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+  except (ValueError, RuntimeError) as e:
+    if coordinator_address or num_processes or process_id:
+      raise
+    # No cluster environment detected / already initialized: single-process.
+    del e
+
+
+def process_local_batch_size(global_batch_size: int) -> int:
+  """This process's share of a global batch (reference per-process grain
+  shards, image_alignment/dataset.py:144-147)."""
+  count = jax.process_count()
+  if global_batch_size % count:
+    raise ValueError(
+        f'global batch {global_batch_size} not divisible by '
+        f'process count {count}'
+    )
+  return global_batch_size // count
+
+
+def process_data_seed(seed: int) -> int:
+  """Derives a per-process data seed for disjoint generated-data streams.
+
+  Single-process returns `seed` unchanged (bit-for-bit identical streams to
+  the non-distributed path); multi-process folds the process index in.
+  """
+  if jax.process_count() == 1:
+    return seed
+  folded = jax.random.fold_in(
+      jax.random.PRNGKey(seed), jax.process_index()
+  )
+  return int(np.asarray(jax.random.key_data(folded))[0])
+
+
+def global_batch(tree, mesh: Mesh, axis: str = 'data'):
+  """Assembles a process-local batch into global batch-sharded arrays.
+
+  Each process passes its local (local_batch, ...) arrays; the result is a
+  logical (global_batch, ...) array sharded over `axis`, exactly what the
+  jitted train step consumes. Single-process this is identical to
+  `shard_batch`. Mirrors multihost_utils.host_local_array_to_global_array
+  in the reference (image_alignment/train.py:384-391).
+  """
+  if jax.process_count() == 1:
+    return shard_batch(tree, mesh, axis)
+  return global_batch_multihost(tree, mesh, axis)
+
+
+def global_batch_multihost(tree, mesh: Mesh, axis: str = 'data'):
+  """The multihost_utils assembly path of `global_batch`, unconditionally.
+
+  Exposed separately so single-process tests can assert it is numerically
+  identical to `shard_batch` (with process_count==1 the host-local batch IS
+  the global batch).
+  """
+  from jax.experimental import multihost_utils
+
+  axis_size = mesh.shape[axis]
+
+  def spec_for(x):
+    x = np.asarray(x)
+    local = x.ndim >= 1 and (x.shape[0] * jax.process_count()) % axis_size == 0
+    return P(axis) if local else P()
+
+  specs = jax.tree_util.tree_map(spec_for, tree)
+  return multihost_utils.host_local_array_to_global_array(tree, mesh, specs)
