@@ -42,7 +42,8 @@ class MultiDopantState(struct.PyTreeNode):
   fov_lower: jnp.ndarray  # (B, 2)
   fov_upper: jnp.ndarray  # (B, 2)
   goals: jnp.ndarray  # (B, D, 2) material frame
-  consecutive: jnp.ndarray  # (B, D) int32 steps-at-goal counters
+  consecutive: jnp.ndarray  # (B, D) int32 true consecutive steps-at-goal
+  latched: jnp.ndarray  # (B, D) bool, dopant has completed its goal
   steps: jnp.ndarray  # (B,) int32
   needs_reset: jnp.ndarray  # (B,) bool
 
@@ -136,10 +137,7 @@ class MultiDopantEnv(struct.PyTreeNode):
     delta = state.goals - si
     if self.sticky_goals:
       # Latched goals read as zero delta — "nothing left to do here".
-      latched = (
-          state.consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS
-      )
-      delta = jnp.where(latched[..., None], 0.0, delta)
+      delta = jnp.where(state.latched[..., None], 0.0, delta)
     return jnp.concatenate([si, delta], axis=-1).reshape(
         self.batch_size, -1
     )
@@ -169,6 +167,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         fov_upper=jnp.zeros((b, 2)) + self.fov_width / 2,
         goals=jnp.zeros((b, d, 2)),
         consecutive=jnp.zeros((b, d), jnp.int32),
+        latched=jnp.zeros((b, d), bool),
         steps=jnp.zeros((b,), jnp.int32),
         needs_reset=jnp.zeros((b,), bool),
     )
@@ -190,10 +189,21 @@ class MultiDopantEnv(struct.PyTreeNode):
         world[:, None, :, :] - si[:, :, None, :], axis=-1
     )  # (B, D, N)
     valid = in_fov[:, None, :] & (dist >= lo) & (dist <= hi)
-    gumbel = jax.random.gumbel(k_goal, valid.shape)
-    choice = jnp.argmax(
-        jnp.where(valid, gumbel, -jnp.inf), axis=-1
-    )  # (B, D)
+    # Sequential per-dopant choice, masking already-chosen goal atoms:
+    # independent draws could give two dopants the SAME goal atom, which a
+    # single site can only satisfy one dopant at a time (unsolvable with
+    # sticky_goals=False, pathological with latching). Same distinctness
+    # pattern as _initial_sites.
+    n = world.shape[1]
+    taken = jnp.zeros((b, n), bool)
+    choices = []
+    for dd in range(d):
+      gumbel = jax.random.gumbel(jax.random.fold_in(k_goal, dd), (b, n))
+      logits = jnp.where(valid[:, dd] & ~taken, gumbel, -jnp.inf)
+      choice_d = jnp.argmax(logits, axis=-1)  # (B,)
+      taken = taken.at[jnp.arange(b), choice_d].set(True)
+      choices.append(choice_d)
+    choice = jnp.stack(choices, axis=-1)  # (B, D)
     goals = jnp.take_along_axis(
         world, choice.reshape(b, d)[..., None].repeat(2, -1), axis=1
     )
@@ -222,10 +232,7 @@ class MultiDopantEnv(struct.PyTreeNode):
     action = jnp.clip(action, -1.0, 1.0)
     if self.action_mode == 'relative':
       # Beam offset from the first unlatched dopant.
-      latched = (
-          state.consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS
-      )
-      pick_d = jnp.argmax(jnp.logical_not(latched), axis=-1)  # (B,)
+      pick_d = jnp.argmax(jnp.logical_not(state.latched), axis=-1)  # (B,)
       si = self._si_positions(state)  # (B, D, 2)
       anchor = si[jnp.arange(b), pick_d]  # (B, 2)
       beam = anchor + action * self.max_distance_angstroms
@@ -256,22 +263,22 @@ class MultiDopantEnv(struct.PyTreeNode):
     at_goal = (
         jnp.linalg.norm(si - new_state.goals, axis=-1) < goal_radius
     )  # (B, D)
+    # The counter stays a TRUE consecutive count in both modes; latching is
+    # a separate boolean so non-consecutive at-goal visits can never fake a
+    # completion if REQUIRED_CONSECUTIVE_GOAL_STEPS is ever raised above 1.
+    consecutive = jnp.where(at_goal, new_state.consecutive + 1, 0)
+    reached = consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS
     if self.sticky_goals:
       # A dopant's goal LATCHES once reached (the beam then works on the
       # others) — without latching, all D dopants must sit on their
       # goals at the same step under a single beam, which is nearly
       # unlearnable from scratch.
-      consecutive = jnp.maximum(
-          new_state.consecutive,
-          jnp.where(at_goal, new_state.consecutive + 1, 0),
-      )
+      latched = new_state.latched | reached
     else:
-      consecutive = jnp.where(at_goal, new_state.consecutive + 1, 0)
-    new_state = new_state.replace(consecutive=consecutive)
+      latched = reached
+    new_state = new_state.replace(consecutive=consecutive, latched=latched)
 
-    all_done = jnp.all(
-        consecutive >= goals_lib.REQUIRED_CONSECUTIVE_GOAL_STEPS, axis=-1
-    )
+    all_done = jnp.all(latched, axis=-1)
     truncated = new_state.steps >= self.step_limit
     reward = jnp.where(
         all_done,
@@ -298,8 +305,15 @@ class MultiDopantEnv(struct.PyTreeNode):
 
     # Auto-reset on the step AFTER last (same semantics as
     # env_lib.PuttingDuneEnv.step): envs flagged needs_reset get a fresh
-    # FIRST timestep instead of being stepped.
-    reset_state, reset_ts = self.reset(k_reset)
+    # FIRST timestep instead of being stepped. lax.cond skips the whole
+    # fresh-reset computation (goal resampling over (B, N) + gumbel draws)
+    # on steps where no env finished — the common case.
+    reset_state, reset_ts = jax.lax.cond(
+        jnp.any(state.needs_reset),
+        lambda _: self.reset(k_reset),
+        lambda _: (new_state, stepped_ts),
+        operand=None,
+    )
 
     def pick(reset_leaf, stepped_leaf):
       mask = state.needs_reset.reshape(

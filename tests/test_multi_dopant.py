@@ -107,3 +107,50 @@ def test_ppo_trains_on_multi_dopant_env():
   train, _ = ppo.make_train(env, config)
   _, metrics = train(jax.random.PRNGKey(0))
   assert np.isfinite(np.asarray(metrics['loss'])).all()
+
+
+def test_goals_are_distinct_per_env():
+  """Two dopants can never draw the same goal atom (sequential masking)."""
+  env = make_env(batch=64, dopants=3)
+  for seed in range(3):
+    state, _ = env.reset(jax.random.PRNGKey(seed))
+    goals = np.asarray(state.goals)  # (B, D, 2)
+    for b in range(goals.shape[0]):
+      d2 = np.linalg.norm(
+          goals[b][:, None] - goals[b][None], axis=-1
+      )
+      off_diag = d2[~np.eye(3, dtype=bool)]
+      assert (off_diag > 1e-6).all(), (b, goals[b])
+
+
+def test_sticky_latch_is_permanent_and_counter_stays_consecutive():
+  """latched persists after the dopant leaves its goal; the counter is a
+  true consecutive count (no max() overload)."""
+  env = make_env(batch=4, dopants=2, action_mode='absolute')
+  state, _ = env.reset(jax.random.PRNGKey(5))
+  si = lattice_lib.site_position(
+      env.lattice, state.si_indices, state.offset, state.theta
+  )
+  # Dopant 0 at its goal, dopant 1 far away -> latch d0 only.
+  goals = np.asarray(state.goals).copy()
+  goals[:, 0] = np.asarray(si)[:, 0]
+  goals[:, 1] = np.asarray(si)[:, 1] + 30.0
+  state = state.replace(goals=jnp.asarray(goals))
+  action = -jnp.ones((4, 2))  # beam far away: no transitions
+  state, ts = env.step(state, action, jax.random.PRNGKey(6))
+  assert np.asarray(state.latched)[:, 0].all()
+  assert not np.asarray(state.latched)[:, 1].any()
+  assert (np.asarray(ts.step_type) == env_lib.MID).all()
+
+  # Move dopant 0's goal away: counter resets to 0, latch persists.
+  goals2 = np.asarray(state.goals).copy()
+  goals2[:, 0] += 30.0
+  state = state.replace(goals=jnp.asarray(goals2))
+  state, ts = env.step(state, action, jax.random.PRNGKey(7))
+  assert np.asarray(state.latched)[:, 0].all()
+  assert (np.asarray(state.consecutive)[:, 0] == 0).all()
+
+  # Latched dopants read a zero goal delta in the observation.
+  obs = np.asarray(ts.observation).reshape(4, 2, 4)
+  assert (np.abs(obs[:, 0, 2:]) < 1e-6).all()
+  assert (np.abs(obs[:, 1, 2:]) > 1.0).any()
