@@ -45,14 +45,18 @@ def equalize_adapthist(
     clip_limit: histogram clip fraction (of tile pixel count).
     grid_size: tiles per side.
     nbins: gray-level bins.
-    backend: 'pallas_fused' (ops/clahe_fused_pallas.py, fully-fused
-      VMEM-resident kernel: histograms + clip + cdf + LUT interpolation in
-      one pallas_call, HBM traffic = bins in / pixels out; ~4.9 ms for a
-      256-frame 128x128 batch on a v5e vs ~8.2 ms for 'xla'), 'xla'
-      (one-hot matmul through HBM), or 'pallas' (ops/clahe_pallas.py,
-      non-fused LUT-interp kernel; correct but slower — kept as a tuning
-      baseline). 'auto' picks 'pallas_fused' on TPU when the one-hot cache
-      fits VMEM, else 'xla'; on CPU always 'xla' (interpret mode is slow).
+    backend: 'pallas_fused' (ops/clahe_fused_pallas.py — tiles up to 512 px
+      use the fully-fused VMEM-resident kernel: histograms + clip + cdf +
+      LUT interpolation in one pallas_call, ~3.6 ms for a 256-frame
+      128x128 batch on a v5e vs ~8.2 ms for 'xla'; larger lane-aligned
+      tiles use the VMEM-safe three-call split serving the reference's
+      512^2 default render: 1557 frames/s at 512^2 B=64), 'xla'
+      (one-hot matmul through HBM — materializes B*(g+1)^2*npx*nbins bf16,
+      10.9 GB at 256 frames x 256^2: do NOT use at large sizes on TPU),
+      or 'pallas' (ops/clahe_pallas.py, non-fused LUT-interp kernel;
+      correct but slower — kept as a tuning baseline). 'auto' picks the
+      appropriate pallas kernel on TPU for any lane-aligned size and
+      'xla' otherwise; on CPU always 'xla' (interpret mode is slow).
 
   Returns:
     (B, H, W) float32 in [0, 1].
@@ -99,14 +103,15 @@ def equalize_adapthist(
   # 128-lane chunks; tiles of 64x64-and-larger images satisfy this) and a
   # single-vreg-wide LUT segment.
   on_cpu = jax.default_backend() == 'cpu'
-  # 'auto' currently routes tiles up to 512 pixels (images up to 128^2 at
-  # the default 8x8 grid) to the fused kernel — the sizes validated on
-  # TPU hardware. Larger tiles pass CPU interpret checks and are
-  # reachable via backend='pallas_fused' but stay on XLA by default until
-  # they are TPU-validated.
-  fused_ok = (npx % 128 == 0 or npx <= 128) and npx <= 512
+  # 'auto' routes tiles up to 512 pixels (images up to 128^2 at the
+  # default 8x8 grid) to the single fused kernel, and larger lane-aligned
+  # tiles (256^2, 512^2 — the reference's default render size) to the
+  # VMEM-safe two-kernel split. Both are TPU-validated; the XLA one-hot
+  # path remains only for CPU and odd sizes.
+  fused_small = (npx % 128 == 0 or npx <= 128) and npx <= 512
+  fused_large = npx % 128 == 0 and npx > 512
   if backend == 'pallas_fused' or (
-      backend == 'auto' and not on_cpu and fused_ok
+      backend == 'auto' and not on_cpu and (fused_small or fused_large)
   ):
     from putting_dune_tpu.ops import clahe_fused_pallas
 
@@ -117,7 +122,12 @@ def equalize_adapthist(
         .transpose(0, 1, 3, 2, 4)
         .reshape(b, g * g, th * tw)
     )
-    out_blocks = clahe_fused_pallas.clahe_fused(
+    fused_fn = (
+        clahe_fused_pallas.clahe_fused
+        if fused_small
+        else clahe_fused_pallas.clahe_fused_large
+    )
+    out_blocks = fused_fn(
         blocks,
         tiles,
         wgt,

@@ -193,3 +193,196 @@ def clahe_fused(
       ],
       interpret=interpret,
   )(blocks, tiles, weights)
+
+
+# --- large-tile variant (two kernels) -----------------------------------------
+#
+# At 512^2 render size (the reference default, imaging.py:39) a tile is
+# th*tw = 4096 px; the single fused kernel's working set (dual blocks in +
+# out + compare temps + LUT staging, all per image) exceeds the 16 MB VMEM
+# scope (~44 MB measured). The split below stays VMEM-safe at ANY tile
+# size by separating the per-image reduction from the per-pixel map:
+#
+#   kernel 1 (grid over images):  tile bins -> clipped/cdf'd corner LUTs
+#       VMEM: one (g^2, P) tile layout + (slc, P, V) compare temp + LUTs.
+#   kernel 2 (grid over images x pixel chunks): dual-block bins -> output
+#       VMEM: a (K, PC) chunk of bins/out + the image's (4, K, V) LUTs.
+#
+# HBM traffic: bins read twice + LUTs once ~= 3 px-words/px, vs the XLA
+# path's one-hot at V/2 px-words/px (bf16) — a ~40x reduction at V=256.
+
+
+def _hist_kernel(
+    tiles_ref,  # (1, 1, P) int32 — ONE tile's pixel bins
+    hist_ref,  # out (1, 1, V) f32 — that tile's histogram
+    *,
+    nbins: int,
+):
+  """One tile per grid step: the (P, V) one-hot compare temp exists once.
+
+  (A single unrolled loop over tiles keeps every iteration's one-hot live
+  on the VMEM stack simultaneously — the 16 MB scoped-vmem OOM the
+  single-kernel variant hits at 4096-px tiles; dynamic ref slices inside
+  fori_loop lower to an unsupported Mosaic gather. Static per-step blocks
+  avoid both.)
+  """
+  p = tiles_ref.shape[-1]
+  bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
+  row = tiles_ref[0, 0, :]  # (P,)
+  oh = (row[:, None] == bin_iota).astype(jnp.int8)  # (P, V)
+  hist_ref[0, 0, :] = jnp.sum(oh, axis=0, dtype=jnp.int32).astype(
+      jnp.float32
+  )
+
+
+def _lut_kernel(
+    hist_ref,  # (1, G*G, V) f32 per-tile histograms
+    luts_ref,  # out (1, 4, G1*G1, V) f32 corner LUTs
+    *,
+    g: int,
+    npx: int,
+    nbins: int,
+    clip_limit: float,
+):
+  g1 = g + 1
+  k = g1 * g1
+  tri = (
+      jax.lax.broadcasted_iota(jnp.int32, (nbins, nbins), 0)
+      <= jax.lax.broadcasted_iota(jnp.int32, (nbins, nbins), 1)
+  ).astype(jnp.float32)
+
+  hist = hist_ref[0]
+  clim = max(clip_limit * npx, 1.0)
+  excess = jnp.sum(jnp.maximum(hist - clim, 0.0), axis=-1, keepdims=True)
+  hist = jnp.minimum(hist, clim) + excess / nbins
+  cdf = jax.lax.dot_general(
+      hist, tri,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )
+  mapping = (cdf / cdf[:, -1:]).reshape(g, g, nbins)
+
+  mpr = jnp.concatenate([mapping[:1], mapping, mapping[-1:]], axis=0)
+  mpc = jnp.concatenate([mpr[:, :1], mpr, mpr[:, -1:]], axis=1)
+  luts_ref[0] = jnp.stack(
+      [
+          mpc[0:g1, 0:g1],
+          mpc[0:g1, 1:g1 + 1],
+          mpc[1:g1 + 1, 0:g1],
+          mpc[1:g1 + 1, 1:g1 + 1],
+      ],
+      axis=0,
+  ).reshape(4, k, nbins)
+
+
+def _remap_kernel(
+    blocks_ref,  # (1, K, PC) int32 dual-block pixel bins (pixel chunk)
+    luts_ref,  # (1, 4, K, V) f32 corner LUTs
+    wgt_ref,  # (PC, 4) f32 bilinear weights (pixel chunk)
+    out_ref,  # (1, K, PC) f32
+    luts_s,  # scratch (4, K, V) f32 — plainly-laid-out gather operand
+    *,
+    k: int,
+    nbins: int,
+    pc: int,
+):
+  lane = 128
+  # Mosaic's gather lowering wants a plainly laid-out 3-D ref operand, not
+  # a slice of the 4-D input block — stage through scratch (same trick as
+  # the single fused kernel).
+  luts_s[:, :, :] = luts_ref[0]
+  wgt_t = wgt_ref[:, :].T  # (4, PC)
+  for c0 in range(0, pc, lane):
+    w = min(lane, pc - c0)
+    idxc = blocks_ref[0, :, c0:c0 + w]  # (K, w)
+    out_acc = jnp.zeros((k, w), jnp.float32)
+    for c in range(4):
+      acc = jnp.zeros((k, w), jnp.float32)
+      for s0 in range(0, nbins, lane):
+        sw = min(lane, nbins - s0)
+        seg = luts_s[c, :, s0:s0 + sw]  # (K, sw)
+        within = jnp.logical_and(idxc >= s0, idxc < s0 + sw)
+        idx_m = jnp.clip(idxc - s0, 0, sw - 1)
+        acc = jnp.where(
+            within, jnp.take_along_axis(seg, idx_m, axis=1), acc
+        )
+      out_acc = out_acc + acc * wgt_t[c:c + 1, c0:c0 + w]
+    out_ref[0, :, c0:c0 + w] = out_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('g', 'th', 'tw', 'nbins', 'clip_limit', 'interpret'),
+)
+def clahe_fused_large(
+    blocks: jnp.ndarray,  # (B, (g+1)^2, th*tw) int32 dual-block bins
+    tiles: jnp.ndarray,  # (B, g^2, th*tw) int32 tile-layout bins
+    weights: jnp.ndarray,  # (th*tw, 4) f32 bilinear weights
+    *,
+    g: int,
+    th: int,
+    tw: int,
+    nbins: int = 256,
+    clip_limit: float = 0.01,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """VMEM-safe split CLAHE for large tiles; same semantics as clahe_fused."""
+  b, k, p = blocks.shape
+  t = g * g
+
+  # One tile per grid step, tiles folded into the leading grid axis with a
+  # singleton sublane dim (block sublane must divide 8 or equal the array
+  # dim — 1 == 1 satisfies the latter).
+  hist = pl.pallas_call(
+      functools.partial(_hist_kernel, nbins=nbins),
+      grid=(b * t,),
+      in_specs=[
+          pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, 1, nbins), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b * t, 1, nbins), jnp.float32),
+      interpret=interpret,
+  )(tiles.reshape(b * t, 1, p)).reshape(b, t, nbins)
+
+  luts = pl.pallas_call(
+      functools.partial(
+          _lut_kernel,
+          g=g, npx=th * tw, nbins=nbins, clip_limit=clip_limit,
+      ),
+      grid=(b,),
+      in_specs=[
+          pl.BlockSpec((1, t, nbins), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, 4, k, nbins), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, 4, k, nbins), jnp.float32),
+      interpret=interpret,
+  )(hist)
+
+  # Pixel-chunk width: lane-aligned, small enough that (K, PC) in/out plus
+  # the (4, K, V) LUTs stay well inside VMEM at any tile size.
+  pc = p
+  for cand in (2048, 1024, 512, 256, 128):
+    if p > 2048 and p % cand == 0:
+      pc = cand
+      break
+  return pl.pallas_call(
+      functools.partial(_remap_kernel, k=k, nbins=nbins, pc=pc),
+      grid=(b, p // pc),
+      in_specs=[
+          pl.BlockSpec((1, k, pc), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4, k, nbins), lambda i, j: (i, 0, 0, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((pc, 4), lambda i, j: (j, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, k, pc), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, k, p), jnp.float32),
+      scratch_shapes=[pltpu.VMEM((4, k, nbins), jnp.float32)],
+      interpret=interpret,
+  )(blocks, luts, weights)

@@ -236,3 +236,20 @@ def test_clahe_fused_nondefault_grid_and_bins():
         )
     )
     assert np.abs(fused - ref).max() < 4e-3, (grid_size, nbins)
+
+
+def test_clahe_fused_large_tiles_agree_with_xla():
+  """The VMEM-safe split kernel (large tiles) matches the XLA path.
+
+  grid_size=2 on a 64^2 image gives 1024-px tiles, exercising the
+  clahe_fused_large routing that serves the reference-default 512^2
+  render (interpret mode on CPU; validated on TPU at 256^2/512^2)."""
+  key = jax.random.PRNGKey(44)
+  img = jax.random.uniform(key, (2, 64, 64))
+  ref = np.asarray(
+      clahe_lib.equalize_adapthist(img, backend='xla', grid_size=2)
+  )
+  fused = np.asarray(
+      clahe_lib.equalize_adapthist(img, backend='pallas_fused', grid_size=2)
+  )
+  assert np.abs(fused - ref).max() < 4e-3
