@@ -39,9 +39,25 @@ DEFAULT_TIMEOUT_SECONDS = 600.0
 Policy = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
 
 
+# Evaluator provenance labels. The two evaluators have DIFFERENT timing
+# semantics and their aggregates must not be silently mixed:
+#   * 'batched': whole suite as one device batch; the 10-min budget applies
+#     to SIMULATED env time only and agent_seconds is reported as 0
+#     (per-env agent wall-time is not separable inside a batch).
+#   * 'host': reference-exact per-episode loop; the budget combines agent
+#     wall-clock + simulated env time (reference eval_lib.py:128-144).
+BATCHED_EVALUATOR = 'batched(sim-time-only)'
+HOST_EVALUATOR = 'host(wall+sim-time)'
+
+
 @dataclasses.dataclass(frozen=True)
 class EvalResult:
-  """Per-episode result (reference eval_lib.py:47-59)."""
+  """Per-episode result (reference eval_lib.py:47-59).
+
+  evaluator: which evaluator produced this result (see the provenance
+  labels above); '' only for legacy callers that construct results
+  directly.
+  """
 
   seed: int
   reached_goal: bool
@@ -49,6 +65,7 @@ class EvalResult:
   agent_seconds_to_goal: float
   environment_seconds_to_goal: float
   total_reward: float
+  evaluator: str = ''
 
   @property
   def seconds_to_goal(self) -> float:
@@ -57,13 +74,19 @@ class EvalResult:
 
 @dataclasses.dataclass(frozen=True)
 class AggregateEvalResults:
-  """Aggregates (reference eval_lib.py:61-74): goal-reaching averages."""
+  """Aggregates (reference eval_lib.py:61-74): goal-reaching averages.
+
+  evaluator: provenance + timing semantics of the results aggregated here
+  ('mixed(...)' if results from both evaluators were combined — a
+  comparison error downstream code can now detect).
+  """
 
   average_num_times_reached_goal: float
   average_num_actions_taken: float
   average_agent_seconds_to_goal: float
   average_environment_seconds_to_goal: float
   average_total_reward: float
+  evaluator: str = ''
 
   @property
   def average_seconds_to_goal(self) -> float:
@@ -79,6 +102,11 @@ def aggregate_results(
   """Averages over goal-reaching episodes (reference eval_lib.py:187-214)."""
   reached = [r for r in results if r.reached_goal]
   denom = max(len(reached), 1)
+  evaluators = sorted({r.evaluator for r in results})
+  evaluator = (
+      evaluators[0] if len(evaluators) == 1
+      else 'mixed(' + ','.join(evaluators) + ')'
+  )
   return AggregateEvalResults(
       average_num_times_reached_goal=len(reached) / len(results),
       average_num_actions_taken=(
@@ -91,6 +119,7 @@ def aggregate_results(
           sum(r.environment_seconds_to_goal for r in reached) / denom
       ),
       average_total_reward=sum(r.total_reward for r in reached) / denom,
+      evaluator=evaluator,
   )
 
 
@@ -256,6 +285,7 @@ def evaluate_batched(
                 float(env_seconds[i]) if ok else float('nan')
             ),
             total_reward=float(reward[i]),
+            evaluator=BATCHED_EVALUATOR,
         )
     )
   return results
@@ -388,6 +418,7 @@ def evaluate(
                 env_elapsed if reached_goal else float('nan')
             ),
             total_reward=total_reward,
+            evaluator=HOST_EVALUATOR,
         )
     )
   return results
