@@ -40,8 +40,12 @@ def main(args: Args) -> 'object':
   from putting_dune_tpu import run_helpers
   from putting_dune_tpu.experiments import registry
 
-  experiment = registry.create_eval_experiment(args.experiment_name)
   seeds = eval_lib.EVAL_SUITES[args.eval_suite]
+
+  if args.experiment_name in registry.multi_dopant_experiment_names():
+    return _eval_multi_dopant(args, seeds)
+
+  experiment = registry.create_eval_experiment(args.experiment_name)
 
   rng = np.random.default_rng(args.seed)
   adapters_and_goal = experiment.get_adapters_and_goal()
@@ -69,6 +73,13 @@ def main(args: Args) -> 'object':
         agent, env, seeds, video_save_dir=args.video_save_dir
     )
 
+  return _report(args, results)
+
+
+def _report(args: Args, results):
+  """Aggregates, logs, and optionally serializes eval results."""
+  from putting_dune_tpu import eval_lib
+
   aggregate = eval_lib.aggregate_results(results)
   logging.info('Aggregate results:')
   for field in dataclasses.fields(aggregate):
@@ -85,6 +96,38 @@ def main(args: Args) -> 'object':
     with open(args.output_json, 'w') as f:
       json.dump(payload, f)
   return aggregate
+
+
+def _eval_multi_dopant(args: Args, seeds):
+  """Evaluates a D-dopant experiment (beyond-parity extension) batched."""
+  import jax
+  import jax.numpy as jnp
+
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu.experiments import registry
+
+  experiment = registry.create_multi_dopant_experiment(args.experiment_name)
+  env = experiment.make_env(len(seeds), step_limit=args.step_limit)
+
+  if experiment.get_agent is not None:
+    agent = experiment.get_agent(None, None)
+    policy = agent.policy()
+  else:
+    spec = env.action_spec()
+
+    def policy(key, obs):
+      batch = jax.tree_util.tree_leaves(obs)[0].shape[0]
+      return jax.random.uniform(
+          key,
+          (batch,) + tuple(spec.shape),
+          minval=jnp.asarray(spec.minimum),
+          maxval=jnp.asarray(spec.maximum),
+      )
+
+  results = eval_lib.evaluate_batched(
+      env, policy, seeds, video_save_dir=args.video_save_dir
+  )
+  return _report(args, results)
 
 
 def _policy_for_agent(agent, env):

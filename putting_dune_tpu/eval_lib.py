@@ -158,9 +158,33 @@ def evaluate_batched(
         f'env.batch_size={env.batch_size} != len(seeds)={len(seeds)}'
     )
   if max_steps is None:
-    max_steps = env.config.step_limit or 600
+    # PuttingDuneEnv keeps the limit in config; MultiDopantEnv inline.
+    config = getattr(env, 'config', None)
+    max_steps = (
+        (getattr(config, 'step_limit', None) if config is not None else None)
+        or getattr(env, 'step_limit', None)
+        or 600
+    )
   nvid = min(video_envs, env.batch_size) if video_save_dir else 0
   cap = max_steps + 1
+
+  def video_pose(state):
+    """(si (nvid, D), offset (nvid, 2), theta (nvid,), goals (nvid, D, 2));
+    the single-dopant env is the D=1 case."""
+    if hasattr(state, 'sim'):
+      material = state.sim.material
+      return (
+          material.si_index[:nvid, None],
+          material.offset[:nvid],
+          material.theta[:nvid],
+          state.goal.position_material[:nvid, None, :],
+      )
+    return (
+        state.si_indices[:nvid],
+        state.offset[:nvid],
+        state.theta[:nvid],
+        state.goals[:nvid],
+    )
 
   seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
 
@@ -189,20 +213,13 @@ def evaluate_batched(
         loop_i=jnp.asarray(0, jnp.int32),
     )
     if nvid:
-      material = state.sim.material
+      si0, off0, th0, goal0 = video_pose(state)
+      d = si0.shape[-1]
       init['video'] = dict(
-          si=jnp.zeros((cap, nvid), jnp.int32)
-          .at[0]
-          .set(material.si_index[:nvid]),
-          offset=jnp.zeros((cap, nvid, 2), jnp.float32)
-          .at[0]
-          .set(material.offset[:nvid]),
-          theta=jnp.zeros((cap, nvid), jnp.float32)
-          .at[0]
-          .set(material.theta[:nvid]),
-          goal=jnp.zeros((cap, nvid, 2), jnp.float32)
-          .at[0]
-          .set(state.goal.position_material[:nvid]),
+          si=jnp.zeros((cap, nvid, d), jnp.int32).at[0].set(si0),
+          offset=jnp.zeros((cap, nvid, 2), jnp.float32).at[0].set(off0),
+          theta=jnp.zeros((cap, nvid), jnp.float32).at[0].set(th0),
+          goal=jnp.zeros((cap, nvid, d, 2), jnp.float32).at[0].set(goal0),
       )
 
     def cond(c):
@@ -244,15 +261,13 @@ def evaluate_batched(
       )
       if nvid:
         i = c['loop_i'] + 1
-        material = state.sim.material
+        si_i, off_i, th_i, goal_i = video_pose(state)
         vid = c['video']
         out['video'] = dict(
-            si=vid['si'].at[i].set(material.si_index[:nvid]),
-            offset=vid['offset'].at[i].set(material.offset[:nvid]),
-            theta=vid['theta'].at[i].set(material.theta[:nvid]),
-            goal=vid['goal']
-            .at[i]
-            .set(state.goal.position_material[:nvid]),
+            si=vid['si'].at[i].set(si_i),
+            offset=vid['offset'].at[i].set(off_i),
+            theta=vid['theta'].at[i].set(th_i),
+            goal=vid['goal'].at[i].set(goal_i),
         )
       return out
 
@@ -314,13 +329,13 @@ def _save_batched_videos(env, seeds, steps, video, save_dir, nvid):
           )
       )
       numbers = np.full(world.shape[0], _constants.CARBON)
-      numbers[int(video['si'][t, i])] = _constants.SILICON
+      numbers[np.asarray(video['si'][t, i], np.int64)] = _constants.SILICON
       positions_seq.append(world)
       numbers_seq.append(numbers)
     anim = plotting_utils.generate_video_from_trajectory(
         positions_seq,
         numbers_seq,
-        goal_position=np.asarray(video['goal'][0, i]),
+        goal_position=np.asarray(video['goal'][0, i]),  # (D, 2)
     )
     anim.save(os.path.join(save_dir, f'{int(seeds[i])}.gif'))
 

@@ -382,6 +382,77 @@ def register_eval_experiment(name, eval_experiment) -> None:
     _EVAL_EXPERIMENTS[name] = eval_experiment
 
 
+# -------------------- multi-dopant experiments (beyond-parity) ---------------
+#
+# The reference is strictly single-dopant; these drive the D-dopant
+# extension (env/multi_dopant.py) end-to-end through the eval CLI.
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiDopantExperiment:
+  """Eval experiment over the D-dopant env.
+
+  make_env(batch_size) builds the environment (settings must match what
+  the checkpoint, if any, was trained on); get_agent is None for a
+  uniform-random policy or a PolicyCheckpointAgent.
+  """
+
+  make_env: object
+  get_agent: Optional[PolicyCheckpointAgent] = None
+  num_dopants: int = 2
+
+
+def _make_multi_dopant_env(
+    batch_size: int,
+    *,
+    num_dopants: int,
+    dwell_seconds: float = 5.0,
+    grid_columns: int = 50,
+    step_limit: int = 600,
+):
+  """Env factory matching the shipped multi_dopant_2 training settings
+  (runs/train_multidopant.py: lattice 50, simple rates, 5 s dwell,
+  relative action mode, sticky goals)."""
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu.env import multi_dopant
+
+  return multi_dopant.MultiDopantEnv(
+      lattice=lattice_lib.make_lattice(grid_columns),
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=batch_size,
+      num_dopants=num_dopants,
+      dwell_seconds=dwell_seconds,
+      step_limit=step_limit,
+  )
+
+
+_MULTI_DOPANT_EXPERIMENTS = {
+    'multi_dopant_2_ppo': MultiDopantExperiment(
+        make_env=functools.partial(_make_multi_dopant_env, num_dopants=2),
+        get_agent=PolicyCheckpointAgent('multi_dopant_2'),
+        num_dopants=2,
+    ),
+    'multi_dopant_2_random': MultiDopantExperiment(
+        make_env=functools.partial(_make_multi_dopant_env, num_dopants=2),
+        num_dopants=2,
+    ),
+    'multi_dopant_3_random': MultiDopantExperiment(
+        make_env=functools.partial(_make_multi_dopant_env, num_dopants=3),
+        num_dopants=3,
+    ),
+}
+
+
+def create_multi_dopant_experiment(name: str) -> MultiDopantExperiment:
+  if name not in _MULTI_DOPANT_EXPERIMENTS:
+    raise ValueError(f'Unknown multi-dopant experiment {name}.')
+  return _MULTI_DOPANT_EXPERIMENTS[name]
+
+
+def multi_dopant_experiment_names():
+  return tuple(_MULTI_DOPANT_EXPERIMENTS)
+
+
 def create_microscope_experiment(name: str):
   if name not in _MICROSCOPE_EXPERIMENTS:
     raise ValueError(f'Unknown microscope experiment {name}.')

@@ -55,7 +55,8 @@ def plot_microscope_frame(
   """Plots a [0,1]^2 microscope-frame scene (reference :94-118)."""
   plot_atoms(ax, positions, atomic_numbers)
   if goal_position is not None:
-    ax.scatter(*np.asarray(goal_position).reshape(2), marker='*', s=180,
+    goals = np.asarray(goal_position).reshape(-1, 2)  # one or D goals
+    ax.scatter(goals[:, 0], goals[:, 1], marker='*', s=180,
                c='gold', edgecolors='k', label='goal', zorder=5)
   if beam_position is not None:
     ax.scatter(*np.asarray(beam_position).reshape(2), marker='x', s=100,
@@ -76,7 +77,8 @@ def plot_material_frame(
   """Plots an angstrom material-frame scene (reference :121-142)."""
   plot_atoms(ax, positions, atomic_numbers)
   if goal_position is not None:
-    ax.scatter(*np.asarray(goal_position).reshape(2), marker='*', s=180,
+    goals = np.asarray(goal_position).reshape(-1, 2)  # one or D goals
+    ax.scatter(goals[:, 0], goals[:, 1], marker='*', s=180,
                c='gold', edgecolors='k', label='goal', zorder=5)
   if beam_position is not None:
     ax.scatter(*np.asarray(beam_position).reshape(2), marker='x', s=100,
