@@ -85,9 +85,13 @@ def _sample_stack_impl(
 
   images = jnp.stack(frames, axis=-1)  # (B, S, S, T)
   mask = jnp.concatenate(masks, axis=-1)  # (B, S, S, T*3)
-  # Drift label per frame: offset of that frame's FOV relative to the
-  # FINAL frame (what the aligner must undo), angstroms.
-  drift = cumulative - cumulative[:, -1:, :]  # (B, T, 2)
+  # Drift label per frame: that frame's cumulative FOV offset relative to
+  # the UNDRIFTED scene (frame 0), angstroms. The final frame's label is
+  # the current drift the aligner must undo — this is the head both the
+  # reference's final_only training target (dataset.py:84-91) and
+  # ImageAligner.__call__'s time_index=-1 read out; labels relative to the
+  # final frame would make that head identically zero.
+  drift = cumulative  # (B, T, 2)
   return {'images': images, 'mask': mask, 'drift': drift}
 
 

@@ -169,6 +169,8 @@ def write_records(path: str, records: Sequence) -> None:
   ext = os.path.splitext(path)[1]
   if ext in ('.tfrecords', '.tfrecord'):
     write_tfrecords(path, payloads)
+  elif ext == '.riegeli':
+    _write_riegeli(path, payloads)
   else:
     raise ValueError(f'Unsupported record extension: {ext}')
 
@@ -181,8 +183,63 @@ def read_records(path: str, record_cls: Optional[Type[T]] = None) -> List:
   ext = os.path.splitext(path)[1]
   if ext in ('.tfrecords', '.tfrecord'):
     payloads = read_tfrecords(path)
+  elif ext == '.riegeli':
+    payloads = _read_riegeli(path)
   else:
     raise ValueError(f'Unsupported record extension: {ext}')
   if record_cls is None:
     return payloads
   return [record_cls.from_proto_bytes(p) for p in payloads]
+
+
+# --- riegeli interop ----------------------------------------------------------
+#
+# The reference's upload pipeline writes riegeli records
+# (upload_microscope_data.py:32,223-244). Riegeli's default record chunks
+# are brotli-compressed, and neither the `riegeli` package nor a brotli
+# codec is present in this image — so default reference-produced files are
+# fundamentally unreadable here without a one-time conversion. Policy:
+#   * if the `riegeli` package IS importable (e.g. the reference's own
+#     environment), .riegeli paths work natively in both directions;
+#   * otherwise a precise error points at the conversion CLI
+#     (pipeline/convert_riegeli.py), which is designed to run in the
+#     reference environment and emit .tfrecords this framework reads with
+#     its native C++ codec.
+
+
+_RIEGELI_HELP = (
+    'the `riegeli` package (and its brotli codec) is not available in '
+    'this environment, and reference-produced riegeli files are '
+    'brotli-compressed by default. Convert once where riegeli IS '
+    'installed (e.g. the reference environment):\n'
+    '  python -m putting_dune_tpu.pipeline.convert_riegeli '
+    '--source_path=data.riegeli --target_path=data.tfrecords\n'
+    'then use the .tfrecords file here.'
+)
+
+
+def _riegeli_module():
+  try:
+    import riegeli  # pytype: disable=import-error
+    return riegeli
+  except ImportError:
+    return None
+
+
+def _read_riegeli(path: str) -> List[bytes]:
+  riegeli = _riegeli_module()
+  if riegeli is None:
+    raise NotImplementedError(f'Cannot read {path}: {_RIEGELI_HELP}')
+  with open(path, 'rb') as f:
+    with riegeli.RecordReader(f) as reader:
+      return list(reader.read_records())
+
+
+def _write_riegeli(path: str, payloads: Sequence[bytes]) -> None:
+  riegeli = _riegeli_module()
+  if riegeli is None:
+    raise NotImplementedError(f'Cannot write {path}: {_RIEGELI_HELP}')
+  with open(path, 'wb') as f:
+    with riegeli.RecordWriter(f) as writer:
+      for p in payloads:
+        writer.write_record(p)

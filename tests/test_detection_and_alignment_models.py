@@ -130,8 +130,12 @@ def test_alignment_data_stack():
   assert batch['images'].shape == (2, 32, 32, 3)
   assert batch['mask'].shape == (2, 32, 32, 9)
   assert batch['drift'].shape == (2, 3, 2)
-  # Final frame is the drift reference: its label is zero.
-  np.testing.assert_allclose(np.asarray(batch['drift'])[:, -1], 0.0)
+  # Frame 0 is undrifted: its label is zero; labels are cumulative FOV
+  # drift relative to the undrifted scene, so the final frame's label is
+  # the sum of the per-step drifts (what the aligner must undo).
+  drift = np.asarray(batch['drift'])
+  np.testing.assert_allclose(drift[:, 0], 0.0)
+  assert (np.abs(drift[:, -1]) > 0).any()
 
 
 def test_alignment_training_reduces_drift_error(tmp_path):
