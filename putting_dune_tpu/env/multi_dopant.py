@@ -19,7 +19,7 @@ pairs, flattened: (D * 4,) in the material frame.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,8 +29,11 @@ from putting_dune_tpu import constants
 from putting_dune_tpu import kmc
 from putting_dune_tpu import lattice as lattice_lib
 from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import structures
 from putting_dune_tpu.env import env as env_lib
 from putting_dune_tpu.env import goals as goals_lib
+from putting_dune_tpu.imaging import params as imaging_params
+from putting_dune_tpu.imaging import render as imaging_render
 
 
 class MultiDopantState(struct.PyTreeNode):
@@ -46,6 +49,7 @@ class MultiDopantState(struct.PyTreeNode):
   latched: jnp.ndarray  # (B, D) bool, dopant has completed its goal
   steps: jnp.ndarray  # (B,) int32
   needs_reset: jnp.ndarray  # (B,) bool
+  imaging: structures.ImagingParams  # per-episode render randomization
 
 
 def _initial_sites(
@@ -100,6 +104,14 @@ class MultiDopantEnv(struct.PyTreeNode):
       pytree_node=False,
       default=2.0 * constants.CARBON_BOND_DISTANCE_ANGSTROMS,
   )
+  # 'vector': (B, D*4) per-dopant [x, y, goal_dx, goal_dy]. 'image': dict
+  # {'image' (B, S, S, 1) rendered STEM frame with D silicon dopants,
+  #  'goal_delta_angstroms' (B, D*2)} — the D-dopant counterpart of the
+  # single-dopant ImageFeatures (latched dopants read zero delta).
+  observation_mode: str = struct.field(pytree_node=False, default='vector')
+  image_size: int = struct.field(pytree_node=False, default=128)
+  window_capacity: int = struct.field(pytree_node=False, default=512)
+  noisy_images: bool = struct.field(pytree_node=False, default=False)
 
   # ---------------------------------------------------------------- specs
 
@@ -116,11 +128,25 @@ class MultiDopantEnv(struct.PyTreeNode):
   def observation_spec(self):
     from putting_dune_tpu.env import features as features_lib
 
+    if self.observation_mode == 'image':
+      return {
+          'image': features_lib.FeatureSpec(
+              shape=(self.image_size, self.image_size, 1)
+          ),
+          'goal_delta_angstroms': features_lib.FeatureSpec(
+              shape=(self.num_dopants * 2,)
+          ),
+      }
     return features_lib.FeatureSpec(shape=(self.observation_size(),))
 
-  def shaping_distance(self, obs: jnp.ndarray) -> jnp.ndarray:
+  def shaping_distance(self, obs) -> jnp.ndarray:
     """Potential distance for reward shaping: sum of per-dopant goal
     distances (latched dopants contribute 0 — their delta reads zero)."""
+    if isinstance(obs, dict):
+      delta = obs['goal_delta_angstroms']
+      batch = delta.shape[0]
+      per = delta.reshape(batch, self.num_dopants, 2)
+      return jnp.sum(jnp.linalg.norm(per, axis=-1), axis=-1)
     per = obs.reshape(obs.shape[0], self.num_dopants, 4)
     return jnp.sum(jnp.linalg.norm(per[..., 2:4], axis=-1), axis=-1)
 
@@ -132,12 +158,77 @@ class MultiDopantEnv(struct.PyTreeNode):
         self.lattice, state.si_indices, state.offset, state.theta
     )  # (B, D, 2)
 
-  def _observation(self, state: MultiDopantState) -> jnp.ndarray:
+  def _fov(self, state: MultiDopantState) -> structures.FieldOfView:
+    return structures.FieldOfView(state.fov_lower, state.fov_upper)
+
+  def _atom_window(self, state: MultiDopantState) -> structures.AtomWindow:
+    """Fixed-capacity FOV crop with D silicon dopants.
+
+    The D=1 case matches simulator.atom_window (reference
+    graphene.py:600-644); is_si is membership in the (B, D) dopant set.
+    """
+    world = lattice_lib.world_positions(
+        self.lattice, state.offset, state.theta
+    )  # (B, N, 2)
+    in_bounds = jnp.all(
+        (world >= state.fov_lower[:, None, :])
+        & (world <= state.fov_upper[:, None, :]),
+        axis=-1,
+    )
+    n = self.lattice.num_atoms
+    capacity = min(self.window_capacity, n)
+    order = jax.lax.broadcasted_iota(jnp.int32, in_bounds.shape, 1)
+    score = jnp.where(in_bounds, n - order, -1)
+    top_scores, indices = jax.lax.top_k(score, capacity)  # (B, K)
+    mask = top_scores > 0
+
+    positions_material = jnp.take_along_axis(
+        world, indices[..., None], axis=-2
+    )
+    extent = state.fov_upper - state.fov_lower
+    positions = (
+        positions_material - state.fov_lower[:, None, :]
+    ) / extent[:, None, :]
+    positions = jnp.where(mask[..., None], positions, 0.0)
+
+    is_si = jnp.any(
+        indices[..., None] == state.si_indices[:, None, :], axis=-1
+    )  # (B, K)
+    atomic_numbers = jnp.where(
+        mask,
+        jnp.where(is_si, constants.SILICON, constants.CARBON),
+        0,
+    ).astype(jnp.int32)
+    return structures.AtomWindow(
+        positions=positions,
+        atomic_numbers=atomic_numbers,
+        mask=mask,
+        si_slot=jnp.full((self.batch_size,), -1, jnp.int32),
+    )
+
+  def _observation(
+      self, state: MultiDopantState, key: Optional[jax.Array] = None
+  ):
     si = self._si_positions(state)
     delta = state.goals - si
     if self.sticky_goals:
       # Latched goals read as zero delta — "nothing left to do here".
       delta = jnp.where(state.latched[..., None], 0.0, delta)
+    if self.observation_mode == 'image':
+      if key is None:
+        raise ValueError('image observations require a PRNG key')
+      window = self._atom_window(state)
+      image = imaging_render.render_stem_image(
+          key,
+          window,
+          self._fov(state),
+          state.imaging,
+          image_size=self.image_size,
+      )
+      return {
+          'image': image[..., None],
+          'goal_delta_angstroms': delta.reshape(self.batch_size, -1),
+      }
     return jnp.concatenate([si, delta], axis=-1).reshape(
         self.batch_size, -1
     )
@@ -147,7 +238,7 @@ class MultiDopantEnv(struct.PyTreeNode):
   @functools.partial(jax.jit, static_argnames=())
   def reset(self, key: jax.Array) -> Tuple[MultiDopantState, env_lib.TimeStep]:
     b, d = self.batch_size, self.num_dopants
-    k_pose, k_goal = jax.random.split(key)
+    k_pose, k_goal, k_imaging, k_render = jax.random.split(key, 4)
     k_off, k_theta = jax.random.split(k_pose)
     offset = jax.random.uniform(
         k_off, (b, 2), minval=-1.0, maxval=1.0
@@ -170,6 +261,9 @@ class MultiDopantEnv(struct.PyTreeNode):
         latched=jnp.zeros((b, d), bool),
         steps=jnp.zeros((b,), jnp.int32),
         needs_reset=jnp.zeros((b,), bool),
+        imaging=imaging_params.sample_imaging_params(
+            k_imaging, b, noisy=self.noisy_images
+        ),
     )
     si = self._si_positions(state)  # (B, D, 2)
 
@@ -213,7 +307,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         step_type=jnp.full((b,), env_lib.FIRST, jnp.int32),
         reward=jnp.zeros((b,)),
         discount=jnp.ones((b,)),
-        observation=self._observation(state),
+        observation=self._observation(state, k_render),
         elapsed_seconds=jnp.zeros((b,)),
     )
     return state, ts
@@ -228,7 +322,7 @@ class MultiDopantEnv(struct.PyTreeNode):
       key: jax.Array,
   ) -> Tuple[MultiDopantState, env_lib.TimeStep]:
     b = self.batch_size
-    k_kmc, k_reset = jax.random.split(key)
+    k_kmc, k_reset, k_render = jax.random.split(key, 3)
     action = jnp.clip(action, -1.0, 1.0)
     if self.action_mode == 'relative':
       # Beam offset from the first unlatched dopant.
@@ -299,7 +393,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         step_type=step_type,
         reward=reward,
         discount=discount,
-        observation=self._observation(new_state),
+        observation=self._observation(new_state, k_render),
         elapsed_seconds=elapsed,
     )
 

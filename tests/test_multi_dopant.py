@@ -154,3 +154,55 @@ def test_sticky_latch_is_permanent_and_counter_stays_consecutive():
   obs = np.asarray(ts.observation).reshape(4, 2, 4)
   assert (np.abs(obs[:, 0, 2:]) < 1e-6).all()
   assert (np.abs(obs[:, 1, 2:]) > 1.0).any()
+
+
+def test_image_observations_contain_d_dopants():
+  """Image mode renders a STEM frame with D silicon atoms + goal deltas."""
+  from putting_dune_tpu import constants
+
+  env = make_env(batch=4, dopants=3, observation_mode='image',
+                 image_size=64)
+  spec = env.observation_spec()
+  assert spec['image'].shape == (64, 64, 1)
+  assert spec['goal_delta_angstroms'].shape == (6,)
+
+  state, ts = env.reset(jax.random.PRNGKey(11))
+  obs = ts.observation
+  assert obs['image'].shape == (4, 64, 64, 1)
+  assert np.isfinite(np.asarray(obs['image'])).all()
+  assert obs['goal_delta_angstroms'].shape == (4, 6)
+  # All D dopants render as silicon in the FOV window.
+  window = env._atom_window(state)
+  n_si = np.asarray(
+      (np.asarray(window.atomic_numbers) == constants.SILICON).sum(-1)
+  )
+  assert (n_si == 3).all(), n_si
+
+  # Steps produce fresh frames and keep the dict layout.
+  state, ts = env.step(
+      state, jnp.zeros((4, 2)), jax.random.PRNGKey(12)
+  )
+  assert ts.observation['image'].shape == (4, 64, 64, 1)
+  # Shaping distance works on dict observations.
+  d = env.shaping_distance(ts.observation)
+  assert d.shape == (4,) and (np.asarray(d) > 0).all()
+
+
+def test_ppo_trains_on_multi_dopant_image_env():
+  """The PPO conv path runs unchanged on D-dopant image observations."""
+  from putting_dune_tpu.agents import ppo
+
+  env = make_env(batch=8, dopants=2, observation_mode='image',
+                 image_size=32)
+  config = ppo.PPOConfig(
+      num_updates=1,
+      rollout_length=4,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(16,),
+      conv_features=(4, 8),
+      reward_shaping_coef=0.05,
+  )
+  train, _ = ppo.make_train(env, config)
+  _, metrics = train(jax.random.PRNGKey(0))
+  assert np.isfinite(np.asarray(metrics['loss'])).all()
