@@ -151,3 +151,70 @@ def test_eval_video_generation(tmp_path):
   )
   assert len(results) == 1
   assert os.path.exists(str(tmp_path / '0.gif'))
+
+
+def test_artifact_pack_unpack_roundtrip(tmp_path):
+  """Model bundles: zip + sha256 manifest, corruption detected (native
+  replacement for the reference's zipped-SavedModel transport,
+  registry.py:94-108)."""
+  import json
+  import os
+  import zipfile
+
+  from putting_dune_tpu.io import artifacts
+
+  src = tmp_path / 'my_model'
+  (src / 'sub').mkdir(parents=True)
+  (src / 'params.msgpack').write_bytes(b'\x01\x02' * 100)
+  (src / 'meta.json').write_text('{"kind": "mlp"}')
+  (src / 'sub' / 'extra.bin').write_bytes(b'xyz')
+
+  archive = str(tmp_path / 'my_model.zip')
+  manifest = artifacts.pack(str(src), archive)
+  assert set(manifest['files']) == {
+      'params.msgpack', 'meta.json', os.path.join('sub', 'extra.bin')
+  }
+
+  out = artifacts.unpack(archive, str(tmp_path / 'dest'))
+  assert out.endswith('my_model')
+  for rel in manifest['files']:
+    a = (src / rel).read_bytes()
+    b = open(os.path.join(out, rel), 'rb').read()
+    assert a == b, rel
+
+  # A shipped checkpoint round-trips and still loads through the registry.
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights',
+      '230422_ppo_v3_2s',
+  )
+  if os.path.isdir(weights):
+    archive2 = str(tmp_path / 'policy.zip')
+    artifacts.pack(weights, archive2)
+    out2 = artifacts.unpack(archive2, str(tmp_path / 'zoo'))
+    agent = registry.PolicyCheckpointAgent(
+        '230422_ppo_v3_2s', weights_dir=str(tmp_path / 'zoo')
+    )(None, None)
+    assert agent is not None
+
+  # Corruption: flip a byte inside the zip payload -> hash mismatch.
+  with zipfile.ZipFile(archive) as zf:
+    contents = {n: zf.read(n) for n in zf.namelist()}
+  contents['params.msgpack'] = b'\x00' + contents['params.msgpack'][1:]
+  bad = str(tmp_path / 'bad.zip')
+  with zipfile.ZipFile(bad, 'w') as zf:
+    for n, data in contents.items():
+      zf.writestr(n, data)
+  with pytest.raises(ValueError, match='Hash mismatch'):
+    artifacts.unpack(bad, str(tmp_path / 'dest2'))
+
+  # Path traversal is rejected.
+  evil = str(tmp_path / 'evil.zip')
+  with zipfile.ZipFile(evil, 'w') as zf:
+    m = dict(manifest)
+    m['files'] = {'../../escape.bin': {'sha256': '0' * 64, 'bytes': 1}}
+    zf.writestr(artifacts.MANIFEST_NAME, json.dumps(m))
+    zf.writestr('../../escape.bin', b'!')
+  with pytest.raises(ValueError, match='Unsafe path'):
+    artifacts.unpack(evil, str(tmp_path / 'dest3'))
