@@ -105,7 +105,8 @@ def create_state(config: Config, mesh=None) -> TrainState:
   )
 
 
-def train(config: Config, *, mesh=None, progress=None) -> TrainState:
+def train(config: Config, *, mesh=None, progress=None,
+          stop_fn=None) -> TrainState:
   """Runs the full training loop with best-checkpoint retention.
 
   Args:
@@ -158,6 +159,8 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
   )
 
   for epoch in range(start_epoch, config.epochs):
+    if stop_fn is not None and stop_fn():
+      break  # budget/stop hook; orbax still flushes below.
     metrics_acc = []
     for _ in range(config.steps_per_epoch):
       batch = mesh_lib.global_batch(next(train_iter), mesh)

@@ -86,7 +86,8 @@ def create_state(config: Config, mesh=None) -> TrainState:
   )
 
 
-def train(config: Config, *, mesh=None, progress=None) -> TrainState:
+def train(config: Config, *, mesh=None, progress=None,
+          stop_fn=None) -> TrainState:
   import orbax.checkpoint as ocp
 
   if mesh is None:
@@ -145,6 +146,8 @@ def train(config: Config, *, mesh=None, progress=None) -> TrainState:
       grid_columns=config.grid_columns,
   )
   for epoch in range(start_epoch, config.epochs):
+    if stop_fn is not None and stop_fn():
+      break  # budget/stop hook; orbax still flushes below.
     for _ in range(config.steps_per_epoch):
       batch = mesh_lib.global_batch(next(train_iter), mesh)
       state, metrics = train_step(state, batch)
