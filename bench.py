@@ -79,10 +79,10 @@ def bench_env_steps() -> float:
   return BATCH * STEPS_PER_CALL / best
 
 
-def bench_frames(image_size: int = 128) -> float:
+def bench_frames(
+    image_size: int = 128, batch: int = 256, rounds: int = 64
+) -> float:
   lattice = lattice_lib.make_lattice(50)
-  batch = 256
-  rounds = 64
   config = simulator_lib.SimulatorConfig(image_size=image_size)
 
   state, obs = simulator_lib.reset(
@@ -165,6 +165,7 @@ def main():
   # remote-TPU runtime in a state that degrades subsequent dispatch
   # throughput (observed 8.2k vs 23k f/s depending on order).
   frames_ps = bench_frames()
+  frames512_ps = bench_frames(image_size=512, batch=64, rounds=16)
   image_env_sps = bench_image_env_steps()
   env_sps = bench_env_steps()
   result = {
@@ -173,6 +174,7 @@ def main():
       'unit': 'steps/s',
       'vs_baseline': round(env_sps / ENV_STEP_BASELINE, 4),
       'stem_frames_128_per_sec': round(frames_ps, 1),
+      'stem_frames_512_per_sec': round(frames512_ps, 1),
       'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),

@@ -56,12 +56,12 @@ def _kernel(
   npx = float(th * tw)
 
   t = g * g
-  # Slice size: largest divisor of the tile count whose (slc, P, V) int8
+  # Slice size: largest divisor of the tile count whose (slc, P, V) f32
   # compare temp stays within ~3 MB, so big tiles (256^2 images) still
   # fit VMEM.
   slc = 1
   for cand in range(t, 0, -1):
-    if t % cand == 0 and cand * p * nbins <= 3 * 2**20:
+    if t % cand == 0 and cand * p * nbins * 4 <= 3 * 2**20:
       slc = cand
       break
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
@@ -77,16 +77,17 @@ def _kernel(
     # The dual-block (half-tile-offset) layout is only needed for the
     # interpolation phase; histograms come from the UNPADDED tile view —
     # 21% fewer compares than histogramming the padded dual blocks, and
-    # no quadrant bookkeeping. int8 one-hots + int32 sums are exact.
+    # no quadrant bookkeeping. f32 one-hots + f32 sums are exact for
+    # counts up to 2^24 >> any tile size; f32 keeps every element in a
+    # native 32-bit lane, unlike the int8 formulation whose pack/unpack
+    # round-trip doubled phase-1 VPU work.
     # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
     # the mask build + low-M dots cost more than the saved compares.)
     for a in range(0, t, slc):
       oh = (
           tiles_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
-      ).astype(jnp.int8)  # (slc, P, V)
-      hist_ref[a:a + slc] = jnp.sum(
-          oh, axis=1, dtype=jnp.int32
-      ).astype(jnp.float32)  # (slc, V)
+      ).astype(jnp.float32)  # (slc, P, V)
+      hist_ref[a:a + slc] = jnp.sum(oh, axis=1)  # (slc, V)
 
     # ---- phase 2: clip + redistribute + cdf ----
     hist = hist_ref[:, :]
@@ -229,10 +230,10 @@ def _hist_kernel(
   p = tiles_ref.shape[-1]
   bin_iota = jax.lax.broadcasted_iota(jnp.int32, (p, nbins), 1)
   row = tiles_ref[0, 0, :]  # (P,)
-  oh = (row[:, None] == bin_iota).astype(jnp.int8)  # (P, V)
-  hist_ref[0, 0, :] = jnp.sum(oh, axis=0, dtype=jnp.int32).astype(
-      jnp.float32
-  )
+  # f32 one-hot: native 32-bit lanes end to end (the int8 formulation's
+  # pack/unpack round-trip doubled the VPU op count); exact for any P.
+  oh = (row[:, None] == bin_iota).astype(jnp.float32)  # (P, V)
+  hist_ref[0, 0, :] = jnp.sum(oh, axis=0)
 
 
 def _lut_kernel(
