@@ -52,7 +52,16 @@ def do_alignment(
     for obs in trajectory.observations:
       shifted_fov = obs.fov.shift(-cumulative_shift)
       extracted_grid, new_shift, _ = aligner(obs.image, shifted_fov)
-      cumulative_shift = cumulative_shift + new_shift * step_size
+      # Sign divergence from the reference (:76): our aligner is trained
+      # on image_alignment/data.py labels = the TRUE view's cumulative
+      # drift relative to the claimed FOV (truth - claim). The correction
+      # must therefore move the claim TOWARD the prediction, i.e.
+      # subtract here so fov.shift(-cumulative) adds the recovered drift.
+      # Accumulating with '+' (the reference's convention for its
+      # opposite-signed labels) doubles the residual every frame and
+      # diverges — caught by
+      # tests/test_pipeline.py::test_align_trajectories_recovers_fov_drift.
+      cumulative_shift = cumulative_shift - new_shift * step_size
       shifted_fov = obs.fov.shift(-cumulative_shift)
       aligned.append(
           md.MicroscopeObservation(

@@ -278,7 +278,18 @@ class LearnedRatePredictor:
         cfg = json.load(f)
       num_current = cfg.pop('num_models_current', cfg.get('num_models'))
       cfg['hidden_dimensions'] = tuple(cfg['hidden_dimensions'])
-      self.config = config_lib.RateLearningConfig(**cfg)
+      stored = config_lib.RateLearningConfig(**cfg)
+      if stored != self.config:
+        # The stored architecture wins over whatever template this
+        # instance was constructed with: rebuild init/apply fns and the
+        # param/state templates from the stored config (otherwise a
+        # checkpoint trained with different hidden_dimensions /
+        # batchnorm / context fields fails flax's shape check).
+        self.__init__(
+            init_key=jax.random.PRNGKey(0),
+            num_states=self.num_states,
+            config=stored,
+        )
       if num_current != self.num_models:
         # Rebuild templates with the stored ensemble size.
         self.num_models = num_current
