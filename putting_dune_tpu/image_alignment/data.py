@@ -25,7 +25,8 @@ from putting_dune_tpu.atom_detection import data as det_data
 @functools.partial(
     jax.jit,
     static_argnames=(
-        'lattice', 'batch_size', 'image_size', 'num_frames', 'noisy'
+        'lattice', 'batch_size', 'image_size', 'num_frames', 'noisy',
+        'registration_noise',
     ),
 )
 def _sample_stack_impl(
@@ -36,42 +37,79 @@ def _sample_stack_impl(
     num_frames: int,
     noisy: bool,
     max_drift_per_step: float,
+    registration_noise: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
   config = simulator_lib.SimulatorConfig(
       image_size=image_size, noisy_images=noisy
   )
-  k_reset, k_drift, k_render = jax.random.split(key, 3)
+  k_reset, k_drift, k_render, k_border = jax.random.split(key, 4)
   state, _ = simulator_lib.reset(
       k_reset, lattice, config=config, batch_size=batch_size,
       return_window=False,
   )
 
-  # Per-step drift vectors (angstroms); cumulative drift moves the FOV.
-  steps = jax.random.uniform(
-      k_drift,
-      (batch_size, num_frames, 2),
-      minval=-max_drift_per_step,
-      maxval=max_drift_per_step,
+  if registration_noise > 0:
+    # Inference-matched protocol (what ImageAligner actually sees in
+    # align_trajectories): history frames arrive pad-and-crop REGISTERED
+    # to the query FOV up to a small claim residual (the aligner's own
+    # per-frame error written back via amend_last_fov), with zero-filled
+    # borders where the old frame lacks coverage; only the final frame's
+    # residual (one step of uncorrected drift) is large. Labels are each
+    # frame's truth-minus-claim residual — the final head is exactly the
+    # correction the pipeline applies. Training on raw frame-0-anchored
+    # stacks instead leaves this input distribution unseen (registered
+    # content + borders) and anchors the gauge on a single frame.
+    k_hist, k_final = jax.random.split(k_drift)
+    hist = jax.random.uniform(
+        k_hist,
+        (batch_size, num_frames - 1, 2),
+        minval=-registration_noise,
+        maxval=registration_noise,
+    )
+    final = jax.random.uniform(
+        k_final,
+        (batch_size, 1, 2),
+        minval=-max_drift_per_step,
+        maxval=max_drift_per_step,
+    )
+    offsets = jnp.concatenate([hist, final], axis=1)  # (B, T, 2)
+  else:
+    # Raw drifting stacks: per-step drift vectors (angstroms); cumulative
+    # drift moves the FOV. Drift label per frame: that frame's cumulative
+    # FOV offset relative to the UNDRIFTED scene (frame 0), angstroms.
+    steps = jax.random.uniform(
+        k_drift,
+        (batch_size, num_frames, 2),
+        minval=-max_drift_per_step,
+        maxval=max_drift_per_step,
+    )
+    steps = steps.at[:, 0, :].set(0.0)
+    offsets = jnp.cumsum(steps, axis=1)  # (B, T, 2)
+
+  extent = state.fov.upper_right - state.fov.lower_left  # (B, 2)
+  px_per_ang = image_size / extent  # (B, 2)
+  row_iota = jax.lax.broadcasted_iota(
+      jnp.int32, (image_size, image_size), 0
   )
-  steps = steps.at[:, 0, :].set(0.0)
-  cumulative = jnp.cumsum(steps, axis=1)  # (B, T, 2)
+  col_iota = jax.lax.broadcasted_iota(
+      jnp.int32, (image_size, image_size), 1
+  )
 
   frames = []
   masks = []
   render_keys = jax.random.split(k_render, num_frames)
+  border_keys = jax.random.split(k_border, num_frames)
   for t in range(num_frames):
     fov_t = structures.FieldOfView(
-        state.fov.lower_left + cumulative[:, t],
-        state.fov.upper_right + cumulative[:, t],
+        state.fov.lower_left + offsets[:, t],
+        state.fov.upper_right + offsets[:, t],
     )
     window = simulator_lib.atom_window(
         lattice, state.material, fov_t, config.window_capacity
     )
-    frames.append(
-        render_lib.render_stem_image(
-            render_keys[t], window, fov_t, state.imaging,
-            image_size=image_size,
-        )
+    frame = render_lib.render_stem_image(
+        render_keys[t], window, fov_t, state.imaging,
+        image_size=image_size,
     )
     labels = render_lib.render_label_mask(
         window, fov_t,
@@ -81,17 +119,44 @@ def _sample_stack_impl(
     class_ids = jnp.where(
         labels == 14, 2, jnp.where(labels == 6, 1, 0)
     )
-    masks.append(jax.nn.one_hot(class_ids, det_data.NUM_CLASSES))
+    mask_t = jax.nn.one_hot(class_ids, det_data.NUM_CLASSES)
+
+    if registration_noise > 0 and t < num_frames - 1:
+      # Zero-filled pad_and_crop borders: the query FOV has drifted up to
+      # (T-1-t) steps past this frame's coverage. Same sign conventions
+      # as alignment.classical.pad_and_crop_images_by_fov (row 0 = top =
+      # max y): query right of claim -> band on the right; query above ->
+      # band on top.
+      bmax = (num_frames - 1 - t) * max_drift_per_step
+      beta = jax.random.uniform(
+          border_keys[t], (batch_size, 2), minval=-bmax, maxval=bmax
+      )
+      bpx = beta * px_per_ang  # (B, 2) signed pixel widths (x, y)
+      bx = bpx[:, 0][:, None, None]
+      by = bpx[:, 1][:, None, None]
+      keep = (
+          jnp.where(bx >= 0, col_iota[None] < image_size - bx,
+                    col_iota[None] >= -bx)
+          & jnp.where(by >= 0, row_iota[None] >= by,
+                      row_iota[None] < image_size + by)
+      )
+      frame = jnp.where(keep, frame, 0.0)
+      background = jax.nn.one_hot(
+          jnp.zeros((), jnp.int32), det_data.NUM_CLASSES
+      )
+      mask_t = jnp.where(keep[..., None], mask_t, background)
+
+    frames.append(frame)
+    masks.append(mask_t)
 
   images = jnp.stack(frames, axis=-1)  # (B, S, S, T)
   mask = jnp.concatenate(masks, axis=-1)  # (B, S, S, T*3)
-  # Drift label per frame: that frame's cumulative FOV offset relative to
-  # the UNDRIFTED scene (frame 0), angstroms. The final frame's label is
-  # the current drift the aligner must undo — this is the head both the
-  # reference's final_only training target (dataset.py:84-91) and
-  # ImageAligner.__call__'s time_index=-1 read out; labels relative to the
-  # final frame would make that head identically zero.
-  drift = cumulative  # (B, T, 2)
+  # The final frame's label is the current drift the aligner must undo —
+  # this is the head both the reference's final_only training target
+  # (dataset.py:84-91) and ImageAligner.__call__'s time_index=-1 read out;
+  # labels relative to the final frame would make that head identically
+  # zero.
+  drift = offsets  # (B, T, 2)
   return {'images': images, 'mask': mask, 'drift': drift}
 
 
@@ -104,11 +169,12 @@ def sample_stack(
     num_frames: int = 5,
     noisy: bool = False,
     max_drift_per_step: float = 1.0,
+    registration_noise: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
   """One batch: {images (B,S,S,T), mask (B,S,S,T*3), drift (B,T,2)}."""
   return _sample_stack_impl(
       key, lattice, batch_size, image_size, num_frames, noisy,
-      max_drift_per_step,
+      max_drift_per_step, registration_noise,
   )
 
 
@@ -121,6 +187,7 @@ def dataset_iterator(
     grid_columns: int = 50,
     noisy: bool = False,
     max_drift_per_step: float = 1.0,
+    registration_noise: float = 0.0,
 ):
   lattice = lattice_lib.make_lattice(grid_columns)
   key = jax.random.PRNGKey(seed)
@@ -131,4 +198,5 @@ def dataset_iterator(
         batch_size=batch_size, image_size=image_size,
         num_frames=num_frames, noisy=noisy,
         max_drift_per_step=max_drift_per_step,
+        registration_noise=registration_noise,
     )

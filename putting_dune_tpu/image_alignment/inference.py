@@ -154,6 +154,21 @@ class ImageAligner:
     ).all(-1)
     return md.AtomicGrid(positions[in_bounds], numbers[in_bounds])
 
+  def amend_last_fov(self, fov: md.MicroscopeFieldOfView) -> None:
+    """Replaces the FOV recorded for the most recent frame.
+
+    Drift predictions are gauge-anchored on the oldest history frame AS
+    CLAIMED: if a caller improves its estimate of a frame's true FOV
+    after the fact (e.g. align_trajectories applies the correction
+    computed FROM this frame), writing the corrected claim back keeps the
+    history registered to truth. Without this, each stack window anchors
+    on a pre-correction claim and the correction lags by one step-drift
+    per window — a linearly accumulating alignment error over long
+    trajectories.
+    """
+    if self.fov_history:
+      self.fov_history[-1] = fov
+
   # -- main entry point ---------------------------------------------------------
 
   def __call__(

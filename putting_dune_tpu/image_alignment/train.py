@@ -40,6 +40,13 @@ class Config:
   final_step_only: bool = False
   grid_columns: int = 50
   noisy_images: bool = False
+  # > 0 switches data gen to the inference-matched protocol: history
+  # frames registered up to this claim residual (angstroms) with
+  # pad_and_crop border emulation; labels = per-frame truth-minus-claim.
+  registration_noise: float = 0.0
+  # Warm-start params from this workdir (params.msgpack / best orbax ckpt)
+  # when the run has no orbax checkpoint of its own yet.
+  init_params_from: str = ''
 
 
 class TrainState(train_state.TrainState):
@@ -143,6 +150,13 @@ def train(config: Config, *, mesh=None, progress=None,
   if mesh is None:
     mesh = mesh_lib.make_mesh()
   state = create_state(config, mesh)
+  if config.init_params_from:
+    state = state.replace(
+        params=jax.device_put(
+            load_params(config.init_params_from),
+            mesh_lib.replicated_sharding(mesh),
+        )
+    )
 
   manager = ocp.CheckpointManager(
       os.path.abspath(os.path.join(config.workdir, 'checkpoints')),
@@ -169,6 +183,7 @@ def train(config: Config, *, mesh=None, progress=None,
       num_frames=config.num_frames,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
+      registration_noise=config.registration_noise,
   )
   eval_iter = data_lib.dataset_iterator(
       mesh_lib.process_data_seed(config.seed + 1),
@@ -177,6 +192,7 @@ def train(config: Config, *, mesh=None, progress=None,
       num_frames=config.num_frames,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
+      registration_noise=config.registration_noise,
   )
 
   for epoch in range(start_epoch, config.epochs):

@@ -63,6 +63,10 @@ def do_alignment(
       # tests/test_pipeline.py::test_align_trajectories_recovers_fov_drift.
       cumulative_shift = cumulative_shift - new_shift * step_size
       shifted_fov = obs.fov.shift(-cumulative_shift)
+      # Write the corrected claim back into the aligner's history so the
+      # next frame's prediction is anchored on a truth-registered stack
+      # (see ImageAligner.amend_last_fov).
+      aligner.amend_last_fov(shifted_fov)
       aligned.append(
           md.MicroscopeObservation(
               grid=extracted_grid if args.relabel else obs.grid,

@@ -66,6 +66,46 @@ def train_aligner(budget_s: float = 5400.0) -> None:
   _ship(align_train, config, extra_markers=('LABELS_CUMULATIVE',))
 
 
+def train_aligner_registration(budget_s: float = 2400.0) -> None:
+  """Fine-tune under the inference-matched registration protocol.
+
+  Starts from the shipped cumulative-label weights and adapts the model
+  to what align_trajectories actually feeds it: pad-and-crop registered
+  history (small claim residuals + zero borders), final-frame residual
+  labels. Ships over the same workdir.
+  """
+  from putting_dune_tpu.image_alignment import train as align_train
+
+  workdir = f'{WEIGHTS}/image_aligner'
+  config = align_train.Config(
+      workdir=workdir,
+      image_size=128,
+      batch_size=32,
+      epochs=200,
+      steps_per_epoch=100,
+      eval_steps=10,
+      registration_noise=0.35,
+      init_params_from=workdir,
+  )
+  t0 = time.monotonic()
+
+  def progress(epoch, summary):
+    print(
+        f'aligner-reg epoch {epoch}: drift={summary["drift_error"]:.3f} '
+        f'acc={summary["accuracy"]:.3f} ({time.monotonic() - t0:.0f}s)',
+        flush=True,
+    )
+
+  align_train.train(
+      config, progress=progress,
+      stop_fn=lambda: time.monotonic() - t0 > budget_s,
+  )
+  _ship(
+      align_train, config,
+      extra_markers=('LABELS_CUMULATIVE', 'REGISTRATION_TRAINED'),
+  )
+
+
 def train_detector(budget_s: float = 5400.0) -> None:
   from putting_dune_tpu.atom_detection import train as det_train
 
@@ -129,3 +169,5 @@ if __name__ == '__main__':
     train_detector(budget or 5400.0)
   if which in ('all', 'graph'):
     train_graph_aligner(budget or 3600.0)
+  if which in ('aligner2',):
+    train_aligner_registration(budget or 2400.0)

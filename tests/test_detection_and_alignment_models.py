@@ -138,6 +138,36 @@ def test_alignment_data_stack():
   assert (np.abs(drift[:, -1]) > 0).any()
 
 
+def test_alignment_data_registration_mode():
+  """Inference-matched protocol: history frames carry small claim
+  residuals + zero pad_and_crop borders; the final frame carries the full
+  step residual and no border."""
+  batch = align_data.sample_stack(
+      jax.random.PRNGKey(5), LATTICE, batch_size=4, image_size=64,
+      num_frames=3, registration_noise=0.3, max_drift_per_step=1.0,
+  )
+  assert batch['images'].shape == (4, 64, 64, 3)
+  drift = np.asarray(batch['drift'])
+  assert (np.abs(drift[:, :-1]) <= 0.3 + 1e-6).all()
+  assert (np.abs(drift[:, -1]) <= 1.0 + 1e-6).all()
+  # History labels are NOT all zero (residual noise is real) and the
+  # final-frame labels are larger on average.
+  assert (np.abs(drift[:, :-1]) > 0).any()
+  images = np.asarray(batch['images'])
+  # Border emulation zeroes bands only on history frames.
+  hist_zero = (images[..., :-1] == 0).mean()
+  final_zero = (images[..., -1] == 0).mean()
+  assert hist_zero > final_zero
+  # Segmentation labels in zeroed border bands are remapped to
+  # background. Identify bands as fully-zero columns (natural zeros from
+  # the noise chain never blank a whole column).
+  mask = np.asarray(batch['mask']).reshape(4, 64, 64, 3, 3)
+  for b in range(4):
+    zero_cols = (images[b, :, :, 0] == 0).all(axis=0)
+    if zero_cols.any():
+      assert (mask[b, :, zero_cols, 0, :].argmax(-1) == 0).all()
+
+
 def test_alignment_training_reduces_drift_error(tmp_path):
   config = align_train.Config(
       workdir=str(tmp_path),
