@@ -26,7 +26,7 @@ from putting_dune_tpu.atom_detection import data as det_data
     jax.jit,
     static_argnames=(
         'lattice', 'batch_size', 'image_size', 'num_frames', 'noisy',
-        'registration_noise',
+        'registration_noise', 'inference_preprocessing', 'seed_fraction',
     ),
 )
 def _sample_stack_impl(
@@ -38,11 +38,13 @@ def _sample_stack_impl(
     noisy: bool,
     max_drift_per_step: float,
     registration_noise: float = 0.0,
+    inference_preprocessing: bool = False,
+    seed_fraction: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
   config = simulator_lib.SimulatorConfig(
       image_size=image_size, noisy_images=noisy
   )
-  k_reset, k_drift, k_render, k_border = jax.random.split(key, 4)
+  k_reset, k_drift, k_render, k_border, k_seed = jax.random.split(key, 5)
   state, _ = simulator_lib.reset(
       k_reset, lattice, config=config, batch_size=batch_size,
       return_window=False,
@@ -66,6 +68,13 @@ def _sample_stack_impl(
         minval=-registration_noise,
         maxval=registration_noise,
     )
+    # A fraction of samples emulate the SEEDED first window (the aligner
+    # fills its history with copies of the first real frame): history
+    # offsets zero, identical noise realization, no borders.
+    seeded = jax.random.bernoulli(
+        k_seed, seed_fraction, (batch_size,)
+    )
+    hist = jnp.where(seeded[:, None, None], 0.0, hist)
     final = jax.random.uniform(
         k_final,
         (batch_size, 1, 2),
@@ -85,6 +94,7 @@ def _sample_stack_impl(
     )
     steps = steps.at[:, 0, :].set(0.0)
     offsets = jnp.cumsum(steps, axis=1)  # (B, T, 2)
+    seeded = jnp.zeros((batch_size,), bool)
 
   extent = state.fov.upper_right - state.fov.lower_left  # (B, 2)
   px_per_ang = image_size / extent  # (B, 2)
@@ -121,7 +131,25 @@ def _sample_stack_impl(
     )
     mask_t = jax.nn.one_hot(class_ids, det_data.NUM_CLASSES)
 
+    if inference_preprocessing:
+      # Mirror ImageAligner.__call__ exactly: adaptive histogram
+      # equalization then per-frame min-max normalization. The renderer
+      # already ends with CLAHE, so inference applies it a SECOND time —
+      # train on the same double-equalized distribution.
+      from putting_dune_tpu.imaging import clahe as clahe_lib
+
+      frame = clahe_lib.equalize_adapthist(frame)
+      lo = jnp.min(frame, axis=(1, 2), keepdims=True)
+      hi = jnp.max(frame, axis=(1, 2), keepdims=True)
+      frame = (frame - lo) / jnp.maximum(hi - lo, 1e-12)
+
     if registration_noise > 0 and t < num_frames - 1:
+      # Seeded samples: history is an identical copy of frame 0 (same
+      # noise realization, same claim) — the aligner's self-seeded first
+      # window.
+      if t > 0:
+        frame = jnp.where(seeded[:, None, None], frames[0], frame)
+        mask_t = jnp.where(seeded[:, None, None, None], masks[0], mask_t)
       # Zero-filled pad_and_crop borders: the query FOV has drifted up to
       # (T-1-t) steps past this frame's coverage. Same sign conventions
       # as alignment.classical.pad_and_crop_images_by_fov (row 0 = top =
@@ -131,6 +159,7 @@ def _sample_stack_impl(
       beta = jax.random.uniform(
           border_keys[t], (batch_size, 2), minval=-bmax, maxval=bmax
       )
+      beta = jnp.where(seeded[:, None], 0.0, beta)
       bpx = beta * px_per_ang  # (B, 2) signed pixel widths (x, y)
       bx = bpx[:, 0][:, None, None]
       by = bpx[:, 1][:, None, None]
@@ -170,11 +199,14 @@ def sample_stack(
     noisy: bool = False,
     max_drift_per_step: float = 1.0,
     registration_noise: float = 0.0,
+    inference_preprocessing: bool = False,
+    seed_fraction: float = 0.0,
 ) -> Dict[str, jnp.ndarray]:
   """One batch: {images (B,S,S,T), mask (B,S,S,T*3), drift (B,T,2)}."""
   return _sample_stack_impl(
       key, lattice, batch_size, image_size, num_frames, noisy,
-      max_drift_per_step, registration_noise,
+      max_drift_per_step, registration_noise, inference_preprocessing,
+      seed_fraction,
   )
 
 
@@ -188,6 +220,8 @@ def dataset_iterator(
     noisy: bool = False,
     max_drift_per_step: float = 1.0,
     registration_noise: float = 0.0,
+    inference_preprocessing: bool = False,
+    seed_fraction: float = 0.0,
 ):
   lattice = lattice_lib.make_lattice(grid_columns)
   key = jax.random.PRNGKey(seed)
@@ -199,4 +233,6 @@ def dataset_iterator(
         num_frames=num_frames, noisy=noisy,
         max_drift_per_step=max_drift_per_step,
         registration_noise=registration_noise,
+        inference_preprocessing=inference_preprocessing,
+        seed_fraction=seed_fraction,
     )

@@ -103,6 +103,16 @@ class ImageAligner:
     if self.hybrid:
       self.postprocessing_aligner.reset()
     self.needs_reset = False
+    # The next frame re-seeds the whole history with itself: drift
+    # predictions are gauge-anchored on the history CLAIMS, and a window
+    # of black zero-fill frames (the reference's convention, :323-347)
+    # gives the model no valid anchor for the first history_length-1
+    # frames. Under-corrections made then leave the window's claims
+    # coherently biased — a bias the model can never detect afterwards
+    # (it only measures relative to claims). Seeding with the first real
+    # frame at its own claim makes the stack a valid zero-drift anchor
+    # from step 0.
+    self._seed_pending = True
 
   # -- detection helpers ------------------------------------------------------
 
@@ -154,6 +164,25 @@ class ImageAligner:
     ).all(-1)
     return md.AtomicGrid(positions[in_bounds], numbers[in_bounds])
 
+  def refine_history_claims(self, step_size: float = 1.0) -> None:
+    """Re-corrects the FOV claims of frames still in the history.
+
+    The drift heads predict a truth-minus-claim residual for EVERY frame
+    of the stack, not just the newest; applying them to the surviving
+    history claims means each frame's claim is re-measured on every step
+    it spends in the window instead of freezing its first estimate.
+    Claim errors then average out across the window rather than
+    accumulating as a random walk. Head i of the last prediction maps to
+    pre-append history entry i; after the append drops the oldest entry,
+    surviving entry j corresponds to head j+1 (the final head's claim is
+    the caller's via amend_last_fov).
+    """
+    if not hasattr(self, 'last_drifts'):
+      return
+    for j in range(len(self.fov_history) - 1):
+      r = self.last_drifts[j + 1] * step_size
+      self.fov_history[j] = self.fov_history[j].shift(r)
+
   def amend_last_fov(self, fov: md.MicroscopeFieldOfView) -> None:
     """Replaces the FOV recorded for the most recent frame.
 
@@ -200,6 +229,11 @@ class ImageAligner:
 
     if self.needs_reset:
       self.reset(example_image=image)
+    if getattr(self, '_seed_pending', False):
+      for _ in range(self.history_length - 1):
+        self.image_history.append(image.copy())
+        self.fov_history.append(fov)
+      self._seed_pending = False
 
     padded = [
         classical.pad_and_crop_images_by_fov(old_img, old_fov, fov)
@@ -216,6 +250,10 @@ class ImageAligner:
     probs = jax.device_get(
         jax.nn.softmax(jnp.asarray(logits[..., time_index, :]), axis=-1)
     )
+    # All per-frame drift heads for this stack, kept for callers that
+    # refine history claims (refine_history_claims); index i corresponds
+    # to the PRE-append history entry i, index -1 to the current frame.
+    self.last_drifts = pred_drift
     pred_drift = pred_drift[time_index]
 
     if grid is None:

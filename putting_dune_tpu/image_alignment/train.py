@@ -44,6 +44,13 @@ class Config:
   # frames registered up to this claim residual (angstroms) with
   # pad_and_crop border emulation; labels = per-frame truth-minus-claim.
   registration_noise: float = 0.0
+  # Mirror ImageAligner.__call__'s CLAHE + min-max preprocessing in the
+  # training frames (the renderer already CLAHEs once; inference does it
+  # twice).
+  inference_preprocessing: bool = False
+  # Fraction of registration-mode samples emulating the self-seeded first
+  # window (history = identical copies of frame 0).
+  seed_fraction: float = 0.0
   # Warm-start params from this workdir (params.msgpack / best orbax ckpt)
   # when the run has no orbax checkpoint of its own yet.
   init_params_from: str = ''
@@ -184,6 +191,8 @@ def train(config: Config, *, mesh=None, progress=None,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
       registration_noise=config.registration_noise,
+      inference_preprocessing=config.inference_preprocessing,
+      seed_fraction=config.seed_fraction,
   )
   eval_iter = data_lib.dataset_iterator(
       mesh_lib.process_data_seed(config.seed + 1),
@@ -193,6 +202,8 @@ def train(config: Config, *, mesh=None, progress=None,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
       registration_noise=config.registration_noise,
+      inference_preprocessing=config.inference_preprocessing,
+      seed_fraction=config.seed_fraction,
   )
 
   for epoch in range(start_epoch, config.epochs):

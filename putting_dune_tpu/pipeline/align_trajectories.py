@@ -65,8 +65,11 @@ def do_alignment(
       shifted_fov = obs.fov.shift(-cumulative_shift)
       # Write the corrected claim back into the aligner's history so the
       # next frame's prediction is anchored on a truth-registered stack
-      # (see ImageAligner.amend_last_fov).
+      # (see ImageAligner.amend_last_fov), and re-correct the surviving
+      # history claims from this stack's per-frame heads so old claim
+      # errors are re-measured instead of random-walking.
       aligner.amend_last_fov(shifted_fov)
+      aligner.refine_history_claims()
       aligned.append(
           md.MicroscopeObservation(
               grid=extracted_grid if args.relabel else obs.grid,

@@ -85,6 +85,8 @@ def train_aligner_registration(budget_s: float = 2400.0) -> None:
       steps_per_epoch=100,
       eval_steps=10,
       registration_noise=0.35,
+      inference_preprocessing=True,
+      seed_fraction=0.25,
       init_params_from=workdir,
   )
   t0 = time.monotonic()
