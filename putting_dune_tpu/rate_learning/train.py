@@ -97,6 +97,17 @@ def train_model(
   Returns (params, network_state, opt_state, metrics-over-epochs).
   """
 
+  # The per-epoch metrics evaluate train/test losses on a bounded random
+  # subsample instead of the full split: a full-split forward pass keeps
+  # (models x examples x hidden) activations alive under the ensemble
+  # vmap — ~11 GB for 50 models x 218k examples x 256 hidden — which
+  # crashes the TPU worker at production data scales. Splits are already
+  # shuffled (bootstrap/permutation in create_dataset_splits), so a
+  # prefix is a random sample; metrics are logging/plotting only.
+  max_eval = 16384
+  train_data_eval = {k: a[:max_eval] for k, a in train_data.items()}
+  test_data = {k: a[:max_eval] for k, a in test_data.items()}
+
   def eval_loss(params, network_state, data, key):
     loss, (_, _, rate_loss, class_loss) = losses.batched_loss_fn(
         params,
@@ -125,7 +136,7 @@ def train_model(
         config,
     )
     train_loss, train_rate, train_class = eval_loss(
-        params, network_state, train_data, key
+        params, network_state, train_data_eval, key
     )
     test_loss, test_rate, test_class = eval_loss(
         params, network_state, test_data, key
