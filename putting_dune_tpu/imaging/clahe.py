@@ -46,11 +46,11 @@ def equalize_adapthist(
     grid_size: tiles per side.
     nbins: gray-level bins.
     backend: 'pallas_fused' (ops/clahe_fused_pallas.py — tiles up to 512 px
-      use the fully-fused VMEM-resident kernel: histograms + clip + cdf +
-      LUT interpolation in one pallas_call, ~3.6 ms for a 256-frame
-      128x128 batch on a v5e vs ~8.2 ms for 'xla'; larger lane-aligned
-      tiles use the VMEM-safe three-call split serving the reference's
-      512^2 default render: 1557 frames/s at 512^2 B=64), 'xla'
+      use the fully-fused VMEM-resident kernel: nibble-MXU histograms +
+      clip + cdf + LUT interpolation in one pallas_call, ~0.82 ms for a
+      256-frame 128x128 batch on a v5e vs ~8.2 ms for 'xla'; larger
+      lane-aligned tiles use the VMEM-safe three-call split serving the
+      reference's 512^2 default render: 4190 frames/s at 512^2 B=64), 'xla'
       (one-hot matmul through HBM — materializes B*(g+1)^2*npx*nbins bf16,
       10.9 GB at 256 frames x 256^2: do NOT use at large sizes on TPU),
       or 'pallas' (ops/clahe_pallas.py, non-fused LUT-interp kernel;

@@ -3,14 +3,15 @@
 The XLA formulation (imaging/clahe.py) is HBM-traffic-bound: the
 (pixels x bins) one-hot is materialized (~1 GB per 256-frame batch) and
 read twice. This kernel keeps everything per-image in VMEM: per-tile
-histograms come from one-hot compares over the UNPADDED tile layout,
+histograms come from a hi/lo-nibble factorization contracted on the MXU
+(_nibble_histograms — 16x fewer VPU compares than a direct one-hot),
 clip + cdf run as a triangular matmul, and every pixel of the
 dual-block (half-tile-offset) layout is remapped through its four
 corner LUTs with native lane gathers (Mosaic lowers take_along_axis
 when the gather dimension fits one 128-lane vreg, so each LUT is
 gathered in 128-bin segments + select). HBM traffic is bins in +
-pixels out. Measured 3.6 ms per 256-frame 128x128 round on a v5e —
-2.3x the XLA path.
+pixels out. Measured 0.82 ms per 256-frame 128x128 round on a v5e —
+10x the XLA path (3.0 ms with the earlier all-compare phase 1).
 
 Semantics identical to imaging.clahe.equalize_adapthist; the LUT lookup
 here is exact f32 (the XLA path quantizes the LUT matmul to bf16 on TPU).
@@ -24,6 +25,72 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Tiles per block-diagonal nibble matmul: M = N = _NIBBLE_SLC * 16 = 128,
+# exactly one MXU tile. See _nibble_histograms.
+_NIBBLE_SLC = 8
+
+
+def _nibble_histograms(rows: jnp.ndarray, nbins: int) -> jnp.ndarray:
+  """256-bin histograms of (slc, P) int32 rows via hi/lo nibble matmuls.
+
+  The naive in-kernel histogram builds a (P, 256) one-hot with P*256 VPU
+  compares per tile — the dominant cost of the fused CLAHE kernel
+  (measured 2.3 of 3.0 ms per 256-frame round). Factoring each bin into
+  hi/lo nibbles (b = 16h + l) needs only 2*16*P compares, and the joint
+  count hist2d[s, h, l] = sum_p [hi_p==h][lo_p==l] becomes ONE
+  block-diagonal 128x128xP MXU matmul per 8 tiles (off-diagonal blocks —
+  cross-tile products — are computed and discarded; the MXU is otherwise
+  idle here, and one full-tile matmul beats 8 latency-bound 16x16 dots).
+
+  The (16, 16) diagonal blocks are then flattened to 256-lane histogram
+  rows without any sublane->lane reshape (which Mosaic cannot lower):
+  zero the off-diagonal blocks, scatter l -> lanes {16h+l} via a static
+  0/1 matmul, and select sublane h(v) per lane group with a mask-reduce.
+
+  Exact f32: all products are 0/1 and counts are < 2^24. Requires
+  nbins == 256 and rows.shape[0] == _NIBBLE_SLC. Measured: drops the
+  128^2-render fused kernel from 3.02 to 0.82 ms per 256-frame round.
+  """
+  slc, p = rows.shape
+  nh = 16
+  m = slc * nh
+  assert nbins == nh * nh and slc == _NIBBLE_SLC
+
+  hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nh, 1), 1)
+  hi = jax.lax.shift_right_logical(rows, 4)[:, None, :]
+  lo = jax.lax.bitwise_and(rows, 15)[:, None, :]
+  oh_hi = (hi == hi_iota).astype(jnp.float32).reshape(m, p)
+  oh_lo = (lo == hi_iota).astype(jnp.float32).reshape(m, p)
+  r = jax.lax.dot_general(
+      oh_hi, oh_lo,
+      dimension_numbers=(((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )  # (m, m); diagonal (16, 16) blocks are the per-tile hist2ds
+
+  ri = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+  ci = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+  dmask = (
+      jax.lax.shift_right_logical(ri, 4)
+      == jax.lax.shift_right_logical(ci, 4)
+  ).astype(jnp.float32)
+  ji = jax.lax.broadcasted_iota(jnp.int32, (m, nbins), 0)
+  vi = jax.lax.broadcasted_iota(jnp.int32, (m, nbins), 1)
+  scat = (
+      jax.lax.bitwise_and(ji, 15) == jax.lax.bitwise_and(vi, 15)
+  ).astype(jnp.float32)  # [j % 16 == v % 16]
+  flat16 = jax.lax.dot_general(
+      r * dmask, scat,
+      dimension_numbers=(((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32,
+  )  # (m, V): row 16s+h holds hist2d_s[h, l(v)] at lane v
+  hsel = jax.lax.broadcasted_iota(jnp.int32, (1, nh, nbins), 1)
+  vsel = jax.lax.broadcasted_iota(jnp.int32, (1, nh, nbins), 2)
+  selmask = (
+      hsel
+      == jax.lax.bitwise_and(jax.lax.shift_right_logical(vsel, 4), 15)
+  ).astype(jnp.float32)  # [h == h(v)]
+  return jnp.sum(flat16.reshape(slc, nh, nbins) * selmask, axis=1)
 
 
 def _kernel(
@@ -72,22 +139,30 @@ def _kernel(
   ).astype(jnp.float32)
   wgt_t = wgt_ref[:, :].T  # (4, P)
 
+  use_nibble = nbins == 256 and t % _NIBBLE_SLC == 0
+
   def process_image(img: int) -> None:
     # ---- phase 1: per-tile histograms straight from the tile layout ----
     # The dual-block (half-tile-offset) layout is only needed for the
     # interpolation phase; histograms come from the UNPADDED tile view —
     # 21% fewer compares than histogramming the padded dual blocks, and
-    # no quadrant bookkeeping. f32 one-hots + f32 sums are exact for
-    # counts up to 2^24 >> any tile size; f32 keeps every element in a
-    # native 32-bit lane, unlike the int8 formulation whose pack/unpack
-    # round-trip doubled phase-1 VPU work.
-    # (A factored hi/lo-nibble MXU-histogram variant was measured slower:
-    # the mask build + low-M dots cost more than the saved compares.)
-    for a in range(0, t, slc):
-      oh = (
-          tiles_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
-      ).astype(jnp.float32)  # (slc, P, V)
-      hist_ref[a:a + slc] = jnp.sum(oh, axis=1)  # (slc, V)
+    # no quadrant bookkeeping. The default path is the hi/lo-nibble MXU
+    # factorization (_nibble_histograms, 3.7x the one-hot compare loop);
+    # the one-hot fallback covers nbins != 256 / odd tile counts. f32
+    # one-hots + f32 sums are exact for counts up to 2^24 >> any tile
+    # size. (An earlier per-tile 16x16-dot nibble variant WAS slower —
+    # latency-bound low-M dots; the block-diagonal batching fixes that.)
+    if use_nibble:
+      for a in range(0, t, _NIBBLE_SLC):
+        hist_ref[a:a + _NIBBLE_SLC] = _nibble_histograms(
+            tiles_ref[img, a:a + _NIBBLE_SLC, :], nbins
+        )
+    else:
+      for a in range(0, t, slc):
+        oh = (
+            tiles_ref[img, a:a + slc, :][:, :, None] == bin_iota[None]
+        ).astype(jnp.float32)  # (slc, P, V)
+        hist_ref[a:a + slc] = jnp.sum(oh, axis=1)  # (slc, V)
 
     # ---- phase 2: clip + redistribute + cdf ----
     hist = hist_ref[:, :]
@@ -213,6 +288,22 @@ def clahe_fused(
 # path's one-hot at V/2 px-words/px (bf16) — a ~40x reduction at V=256.
 
 
+def _hist_kernel_nibble(
+    tiles_ref,  # (1, SLC, P) int32 — 8 tiles' pixel bins
+    hist_ref,  # out (1, SLC, V) f32
+    *,
+    nbins: int,
+):
+  """Eight tiles per grid step through the nibble-MXU histogram.
+
+  At 4096-px tiles the (P, V) one-hot costs 1M compares per tile; the
+  nibble factorization needs 131k plus one well-shaped (128, P, 128)
+  MXU contraction per 8 tiles (see _nibble_histograms). The f32 compare
+  temps (2 x (128, P) = 4 MB at 512^2 renders) stay well inside VMEM.
+  """
+  hist_ref[0] = _nibble_histograms(tiles_ref[0], nbins)
+
+
 def _hist_kernel(
     tiles_ref,  # (1, 1, P) int32 — ONE tile's pixel bins
     hist_ref,  # out (1, 1, V) f32 — that tile's histogram
@@ -331,21 +422,40 @@ def clahe_fused_large(
   b, k, p = blocks.shape
   t = g * g
 
-  # One tile per grid step, tiles folded into the leading grid axis with a
-  # singleton sublane dim (block sublane must divide 8 or equal the array
-  # dim — 1 == 1 satisfies the latter).
-  hist = pl.pallas_call(
-      functools.partial(_hist_kernel, nbins=nbins),
-      grid=(b * t,),
-      in_specs=[
-          pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=pl.BlockSpec((1, 1, nbins), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b * t, 1, nbins), jnp.float32),
-      interpret=interpret,
-  )(tiles.reshape(b * t, 1, p)).reshape(b, t, nbins)
+  if nbins == 256 and (b * t) % _NIBBLE_SLC == 0:
+    # Eight tiles per grid step through the nibble-MXU histogram.
+    groups = b * t // _NIBBLE_SLC
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel_nibble, nbins=nbins),
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec((1, _NIBBLE_SLC, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _NIBBLE_SLC, nbins),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (groups, _NIBBLE_SLC, nbins), jnp.float32
+        ),
+        interpret=interpret,
+    )(tiles.reshape(groups, _NIBBLE_SLC, p)).reshape(b, t, nbins)
+  else:
+    # One tile per grid step, tiles folded into the leading grid axis
+    # with a singleton sublane dim (block sublane must divide 8 or equal
+    # the array dim — 1 == 1 satisfies the latter).
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel, nbins=nbins),
+        grid=(b * t,),
+        in_specs=[
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nbins), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * t, 1, nbins), jnp.float32),
+        interpret=interpret,
+    )(tiles.reshape(b * t, 1, p)).reshape(b, t, nbins)
 
   luts = pl.pallas_call(
       functools.partial(
