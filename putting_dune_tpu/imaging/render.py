@@ -109,7 +109,9 @@ def render_clean_image(
   return image / jnp.maximum(peak, 1e-20)
 
 
-@functools.partial(jax.jit, static_argnames=('image_size', 'apply_clahe'))
+@functools.partial(
+    jax.jit, static_argnames=('image_size', 'apply_clahe', 'noise_backend')
+)
 def render_stem_image(
     key: jax.Array,
     window: structures.AtomWindow,
@@ -118,12 +120,19 @@ def render_stem_image(
     *,
     image_size: int = 512,
     apply_clahe: bool = True,
+    noise_backend: str = 'auto',
 ) -> jnp.ndarray:
   """Full noisy STEM frame pipeline (reference imaging.py:239-265).
 
   Order: clean splat (+blur folded in) -> Poisson shot noise -> row jitter ->
   salt & pepper -> gamma contrast -> uniform -> exponential -> Gaussian ->
   CLAHE.
+
+  noise_backend: 'pallas_fused' runs the 7 noise stages as ONE Pallas
+  kernel with the on-core TPU PRNG (ops/noise_fused_pallas.py — exact
+  gather row roll instead of the FFT, frames stay VMEM-resident; same
+  stage laws, different PRNG stream); 'xla' runs the imaging/noise.py op
+  chain. 'auto' picks the fused kernel on TPU for lane-aligned widths.
   """
   image = render_clean_image(
       window,
@@ -132,26 +141,36 @@ def render_stem_image(
       image_size=image_size,
       blur_amount=params.blur_amount,
   )
-  k_poisson, k_jitter, k_sp, k_uniform, k_exp, k_gauss = jax.random.split(
-      key, 6
-  )
-  image = noise_lib.apply_poisson_noise(
-      k_poisson, image, params.poisson_rate_multiplier
-  )
-  image = noise_lib.apply_jitter(k_jitter, image, params.jitter_rate)
-  image = noise_lib.apply_salt_and_pepper(
-      k_sp, image, params.salt_and_pepper_amount
-  )
-  image = noise_lib.apply_contrast(image, params.contrast_gamma)
-  image = noise_lib.apply_uniform_noise(
-      k_uniform, image, params.uniform_noise_scale
-  )
-  image = noise_lib.apply_exponential_noise(
-      k_exp, image, params.exponential_lambda
-  )
-  image = noise_lib.apply_gaussian_noise(
-      k_gauss, image, params.gaussian_variance
-  )
+  on_cpu = jax.default_backend() == 'cpu'
+  lane_ok = image_size <= 128 or image_size % 128 == 0
+  if noise_backend == 'pallas_fused' or (
+      noise_backend == 'auto' and not on_cpu and lane_ok
+  ):
+    from putting_dune_tpu.ops import noise_fused_pallas
+
+    packed = noise_fused_pallas.pack_params(params, image.shape[0])
+    image = noise_fused_pallas.apply_chain_fused(key, image, packed)
+  else:
+    k_poisson, k_jitter, k_sp, k_uniform, k_exp, k_gauss = jax.random.split(
+        key, 6
+    )
+    image = noise_lib.apply_poisson_noise(
+        k_poisson, image, params.poisson_rate_multiplier
+    )
+    image = noise_lib.apply_jitter(k_jitter, image, params.jitter_rate)
+    image = noise_lib.apply_salt_and_pepper(
+        k_sp, image, params.salt_and_pepper_amount
+    )
+    image = noise_lib.apply_contrast(image, params.contrast_gamma)
+    image = noise_lib.apply_uniform_noise(
+        k_uniform, image, params.uniform_noise_scale
+    )
+    image = noise_lib.apply_exponential_noise(
+        k_exp, image, params.exponential_lambda
+    )
+    image = noise_lib.apply_gaussian_noise(
+        k_gauss, image, params.gaussian_variance
+    )
   if apply_clahe:
     image = clahe_lib.equalize_adapthist(image, clip_limit=0.01)
   return image

@@ -253,3 +253,111 @@ def test_clahe_fused_large_tiles_agree_with_xla():
       clahe_lib.equalize_adapthist(img, backend='pallas_fused', grid_size=2)
   )
   assert np.abs(fused - ref).max() < 4e-3
+
+
+def test_fused_noise_chain_math_matches_stage_ops():
+  """chain_from_uniforms == the imaging/noise.py stage composition.
+
+  The fused Pallas noise kernel (ops/noise_fused_pallas.py) shares its
+  math with apply_chain_reference; with the random stages disabled
+  (amount/scale/var = 0, jitter_rate = 0) and the Poisson multiplier in
+  the large-lambda regime, the chain must reduce to Poisson+renorm
+  followed by the deterministic gamma contrast.
+  """
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+
+  key = jax.random.PRNGKey(0)
+  image = jax.random.uniform(key, (4, 32, 32), minval=0.05, maxval=1.0)
+  gamma = 1.7
+  packed = np.zeros((4, 8), np.float32)
+  packed[:, 0] = 1e8  # poisson_rate_multiplier: relative noise ~1e-4
+  packed[:, 3] = gamma
+  out = np.asarray(
+      nf.apply_chain_reference(jax.random.PRNGKey(1), image, jnp.asarray(packed))
+  )
+  want = np.asarray(noise_lib.apply_contrast(
+      noise_lib._renorm(image), jnp.full((4,), gamma)
+  ))
+  assert np.abs(out - want).max() < 5e-3
+  assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_fused_noise_chain_statistics():
+  """Salt&pepper flip fractions and Gaussian tail of the shared chain."""
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+
+  # A bright anchor pixel keeps the renormalized background near 0.5 so
+  # salt (1.0) and pepper (0.0) flips are distinguishable from it.
+  image = np.full((2, 64, 64), 0.5, np.float32)
+  image[:, 0, 0] = 1.0
+  image = jnp.asarray(image)
+  packed = np.zeros((2, 8), np.float32)
+  packed[:, 0] = 1e8
+  packed[:, 2] = 0.2  # salt_and_pepper_amount
+  packed[:, 3] = 1.0
+  packed[:, 6] = 1e-4  # gaussian_variance
+  out = np.asarray(
+      nf.apply_chain_reference(
+          jax.random.PRNGKey(2), image, jnp.asarray(packed)
+      )
+  )
+  salt = (out > 0.9).mean()
+  pepper = (out < 0.1).mean()
+  assert abs(salt - 0.1) < 0.02, salt
+  assert abs(pepper - 0.1) < 0.02, pepper
+
+
+def test_fused_noise_roll_rows_matches_numpy():
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+
+  rng = np.random.default_rng(3)
+  img = rng.random((8, 160), np.float32)  # W > 128: segment path
+  shifts = rng.integers(0, 300, (8, 1)).astype(np.int32)
+  got = np.asarray(nf._roll_rows(jnp.asarray(img), jnp.asarray(shifts)))
+  want = np.stack(
+      [np.roll(img[i], shifts[i, 0]) for i in range(8)]
+  )
+  np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fused_noise_poisson_from_draws_moments():
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+
+  key = jax.random.PRNGKey(4)
+  n = 200_000
+  for lam in (0.5, 2.0, 20.0):
+    u = jax.random.uniform(jax.random.fold_in(key, int(lam * 10)), (n,))
+    z = jax.random.normal(jax.random.fold_in(key, 77), (n,))
+    x = np.asarray(nf._poisson_from_draws(u, z, jnp.full((n,), lam)))
+    assert abs(x.mean() - lam) < 0.05 * max(lam, 1.0), (lam, x.mean())
+    assert abs(x.var() - lam) < 0.1 * max(lam, 1.0), (lam, x.var())
+
+
+def test_render_noise_backends_share_distribution():
+  """Full render via 'xla' noise vs the fused chain's XLA twin.
+
+  Compares per-image means/stds of the pre-CLAHE pipeline output under
+  both noise formulations (same params, independent streams)."""
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+  from putting_dune_tpu.imaging import render as render_lib
+
+  lattice = lattice_lib.make_lattice(10)
+  config = simulator_lib.SimulatorConfig(image_size=64, grid_columns=10)
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(5), lattice, config=config, batch_size=16,
+      return_window=True,
+  )
+  clean = render_lib.render_clean_image(
+      obs.window, state.fov, state.imaging.intensity_exponent,
+      image_size=64, blur_amount=state.imaging.blur_amount,
+  )
+  xla = render_lib.render_stem_image(
+      jax.random.PRNGKey(6), obs.window, state.fov, state.imaging,
+      image_size=64, apply_clahe=False, noise_backend='xla',
+  )
+  packed = nf.pack_params(state.imaging, 16)
+  twin = nf.apply_chain_reference(jax.random.PRNGKey(7), clean, packed)
+  m1, m2 = float(jnp.mean(xla)), float(jnp.mean(twin))
+  s1, s2 = float(jnp.std(xla)), float(jnp.std(twin))
+  assert abs(m1 - m2) < 0.05, (m1, m2)
+  assert abs(s1 - s2) < 0.05, (s1, s2)
