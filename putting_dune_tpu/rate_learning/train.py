@@ -50,9 +50,14 @@ def train_epoch(
   batch_inds = indices[: num_batches * batch_size].reshape(
       num_batches, batch_size
   )
-  batches = {k: a[batch_inds] for k, a in train_data.items()}
 
-  def train_step(carry, batch):
+  def train_step(carry, inds):
+    # The minibatch is gathered HERE, inside the scan step: pre-gathering
+    # the whole shuffled epoch (`{k: a[batch_inds]}`) materializes a full
+    # dataset copy per epoch, which under the 50-model ensemble vmap is a
+    # multi-GB transient that crashes the TPU worker at production data
+    # scale (50 x 217k transitions). Per-step gathers are (B, feat) tiny.
+    batch = {k: a[inds] for k, a in train_data.items()}
     params, network_state, opt_state = carry
     grad_fn = jax.value_and_grad(losses.batched_loss_fn, has_aux=True)
     (_, (network_state, _, _, _)), grad = grad_fn(
@@ -73,7 +78,7 @@ def train_epoch(
     return (params, network_state, opt_state), None
 
   (params, network_state, opt_state), _ = jax.lax.scan(
-      train_step, (params, network_state, opt_state), batches
+      train_step, (params, network_state, opt_state), batch_inds
   )
   return params, network_state, opt_state, key
 
