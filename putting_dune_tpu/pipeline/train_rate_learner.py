@@ -52,6 +52,10 @@ class Args:
   visualize_rates: bool = True
   batch_size: int = 256
   epochs: int = 500
+  # Epochs per device program: one giant multi-hundred-epoch XLA program
+  # runs for tens of minutes without host interaction, which remote-TPU
+  # relays can kill; chunking also yields progress logs.
+  epoch_chunk: int = 50
   num_models: int = 100
   bootstrap: bool = True
   hidden_dimensions: Tuple[int, ...] = (128, 128)
@@ -384,7 +388,18 @@ def main(args: Args):
     )
     init_key, train_key = jax.random.split(rng_key)
     predictor = LearnedRatePredictor(init_key=init_key, config=config)
-    metrics = predictor.train(stacked, train_key, bootstrap=args.bootstrap)
+
+    def _progress(done_epochs, last_metrics):
+      print(
+          f'epoch {done_epochs}/{config.epochs}: '
+          + ' '.join(f'{k}={v:.4f}' for k, v in sorted(last_metrics.items())),
+          flush=True,
+      )
+
+    metrics = predictor.train(
+        stacked, train_key, bootstrap=args.bootstrap,
+        epoch_chunk=args.epoch_chunk, progress=_progress,
+    )
 
     if args.log_metrics:
       np.savez_compressed(

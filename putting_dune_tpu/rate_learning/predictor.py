@@ -187,6 +187,8 @@ class LearnedRatePredictor:
       key: jax.Array,
       bootstrap: Optional[bool] = None,
       mesh=None,
+      epoch_chunk: Optional[int] = None,
+      progress=None,
   ):
     """Trains the bootstrap ensemble (learn_rates.py:734-776)."""
     if bootstrap is None:
@@ -214,6 +216,8 @@ class LearnedRatePredictor:
         self.init_fn,
         self.config,
         mesh=mesh,
+        epoch_chunk=epoch_chunk,
+        progress=progress,
     )
     return metrics
 

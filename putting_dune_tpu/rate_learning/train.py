@@ -243,11 +243,21 @@ def train_multiple_models(
     init_fn,
     config: config_lib.RateLearningConfig,
     mesh=None,
+    epoch_chunk: int | None = None,
+    progress: Callable[[int, Mapping[str, np.ndarray]], None] | None = None,
 ):
   """Trains the bootstrap ensemble as one vmap (learn_rates.py:603-653).
 
   If `mesh` (with a 'model' axis) is given, the stacked model axis is
   sharded across devices — TPU-native ensemble parallelism.
+
+  epoch_chunk bounds how many epochs run per device program: the full
+  production run (50 models x 500 epochs x 217k transitions) as ONE
+  XLA program executes for tens of minutes with no host interaction,
+  which the single-owner TPU relay kills ("worker crashed or
+  restarted"). Chunking keeps each program a few minutes and gives
+  per-chunk progress callbacks; RNG folds the chunk index, so chunked
+  and unchunked runs draw different (same-law) streams.
   """
   train_key, init_key = jax.random.split(key)
   train_keys = jax.random.split(train_key, num_models)
@@ -275,15 +285,41 @@ def train_multiple_models(
     test_datasets = shard_leading(test_datasets)
     train_keys = jax.device_put(train_keys, model_sharding)
 
-  batch_train = jax.vmap(
-      functools.partial(
-          train_model, apply_fn=apply_fn, optim=optim, config=config
-      ),
-      in_axes=(0, 0, 0, 0, 0, 0),
-  )
-  return batch_train(
-      train_datasets, test_datasets, train_keys, params, states, opt_states
-  )
+  total_epochs = config.epochs
+  chunk = min(epoch_chunk or total_epochs, total_epochs)
+  metrics_parts = []
+  done = 0
+  keys = train_keys
+  import dataclasses
+
+  while done < total_epochs:
+    this_chunk = min(chunk, total_epochs - done)
+    chunk_config = dataclasses.replace(config, epochs=this_chunk)
+    batch_train = jax.vmap(
+        functools.partial(
+            train_model, apply_fn=apply_fn, optim=optim,
+            config=chunk_config,
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )
+    params, states, opt_states, m = batch_train(
+        train_datasets, test_datasets, keys, params, states, opt_states
+    )
+    done += this_chunk
+    keys = jax.vmap(lambda k: jax.random.fold_in(k, done))(keys)
+    metrics_parts.append(m)
+    if progress is not None:
+      last = jax.tree_util.tree_map(
+          lambda x: np.asarray(x)[:, -1].mean(), m
+      )
+      progress(done, last)
+  if len(metrics_parts) == 1:
+    metrics = metrics_parts[0]
+  else:
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=1), *metrics_parts
+    )
+  return params, states, opt_states, metrics
 
 
 # --- multi-chip dry-run entry (used by __graft_entry__) -----------------------
