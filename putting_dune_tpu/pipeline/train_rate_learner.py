@@ -351,6 +351,19 @@ def main(args: Args):
       transitions, neighbor_distance_cutoff=args.neighbor_distance_cutoff
   )
   print('Transition filter counts:', counts, flush=True)
+  if counts['no_controls'] and not args.previous_controls_at_current_timestep:
+    # One dropped transition per trajectory is the signature of a logger
+    # that attaches each control to the POST-exposure observation (the
+    # first observation then has none) being read with the default
+    # convention — which silently pairs every remaining transition with
+    # the PREVIOUS step's beam position.
+    print(
+        f'Hint: {counts["no_controls"]} transitions had no controls. If '
+        'your trajectories attach controls to the post-exposure '
+        'observation, pass --previous_controls_at_current_timestep '
+        '(otherwise each datapoint trains on the prior step\'s beam).',
+        flush=True,
+    )
 
   learner_type = LearnerType(args.learner_type)
   stacked = stack_data(
