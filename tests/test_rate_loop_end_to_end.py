@@ -125,3 +125,51 @@ def test_reflected_prior_breaks_canonicalization():
   # The canonical-frame analytic argmax is always rank 0 for the reflected
   # law, but actual transitions spread ~uniformly: near-chance agreement.
   assert agree.mean() < 0.6, agree.mean()
+
+
+def test_shipped_rate_predictor_matches_analytic_law():
+  """The production-run distilled rate predictor recovers prior_rates_aligned.
+
+  The shipped artifact comes from the reference-scale loop (512 simulated
+  trajectories -> 40.9k transitions -> 50-model bootstrap ensemble x 500
+  epochs -> distillation; runs/rate_loop_production.py). Regression: its
+  rates must correlate >0.95 with the analytic law it was trained from.
+  """
+  import os
+
+  import numpy as np
+
+  from putting_dune_tpu import constants
+  from putting_dune_tpu import rates as rates_lib
+  from putting_dune_tpu.experiments import registry
+  from putting_dune_tpu.rate_learning import config as config_lib
+  from putting_dune_tpu.rate_learning import predictor as predictor_lib
+
+  workdir = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'rate_predictor'
+  )
+  if not os.path.isdir(workdir):
+    pytest.skip('rate_predictor weights not shipped')
+
+  predictor = predictor_lib.LearnedRatePredictor(
+      init_key=jax.random.PRNGKey(0),
+      config=config_lib.RateLearningConfig(beam_units='angstroms'),
+  )
+  predictor.load(workdir)
+  rate_fn = predictor.as_rate_function()
+
+  bond = constants.CARBON_BOND_DISTANCE_ANGSTROMS
+  angles = jnp.deg2rad(jnp.array([0.0, 120.0, 240.0]))
+  nbr = bond * jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+  n = 512
+  beam = jax.random.uniform(
+      jax.random.PRNGKey(7), (n, 2), minval=-1.8, maxval=1.8
+  )
+  si = jnp.zeros((n, 2))
+  nbrs = jnp.tile(nbr[None], (n, 1, 1))
+  learned = np.asarray(rate_fn(si, nbrs, beam)).ravel()
+  analytic = np.asarray(
+      rates_lib.prior_rates_aligned(si, nbrs, beam)
+  ).ravel()
+  r = float(np.corrcoef(learned, analytic)[0, 1])
+  assert r > 0.95, r
