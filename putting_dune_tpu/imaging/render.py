@@ -100,6 +100,9 @@ def render_clean_image(
   gy = gy * weights[..., None]
 
   # image[y, x] = sum_k gy[k, y] * gx[k, x] — one MXU matmul per frame.
+  # (On TPU the default matmul precision already feeds the MXU bf16
+  # inputs with f32 accumulation — an explicit bf16 cast was measured
+  # bit-identical and no faster.)
   image = jnp.einsum(
       'bky,bkx->byx', gy, gx, preferred_element_type=jnp.float32
   )
