@@ -135,8 +135,13 @@ if __name__ == '__main__':
   args = trl.Args(
       source_path=path,
       workdir=WORKDIR,
+      # Controls are attached to the post-exposure observation (as the
+      # real microscope logger does); without this flag the pipeline
+      # pairs each transition with the PREVIOUS step's beam position.
+      previous_controls_at_current_timestep=True,
       num_models=50,  # reference learn_rates.py:40-64
       epochs=500,
+      epoch_chunk=25,  # bounded device programs through the TPU relay
       batch_size=256,
       distill=True,
       visualize_rates=True,
