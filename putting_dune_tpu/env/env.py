@@ -84,6 +84,14 @@ class EnvConfig:
 
   sim: simulator_lib.SimulatorConfig = simulator_lib.SimulatorConfig()
   step_limit: Optional[int] = 600  # run_helpers.py:33-46.
+  # Auto-reset sub-batch capacity: when <= this many envs finished on a
+  # step, fresh states are built only for a compacted sub-batch of that
+  # size and scattered back — avoiding the O(B*N) full-batch resample
+  # (goal Gumbel-max over all atoms, FOV/imaging sampling) that would
+  # otherwise run nearly every step at large B. When more envs finish at
+  # once (e.g. synchronized step-limit truncation), a lax.cond falls back
+  # to the exact full-batch reset.
+  reset_chunk: int = 64
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,19 +116,27 @@ class PuttingDuneEnv:
 
   # -- internals ------------------------------------------------------------
 
-  def _fresh_state_and_obs(self, key: jax.Array, render_image: bool = True):
+  def _fresh_state_and_obs(
+      self,
+      key: jax.Array,
+      render_image: bool = True,
+      batch_size: Optional[int] = None,
+  ):
     """Builds a freshly-reset state + initial observation for all envs.
 
     render_image=False skips the STEM render (the window is still
     returned when image features are in use, so the caller can render
     once after per-env branch selection — see step()).
+    batch_size overrides self.batch_size (used by the sub-batch
+    auto-reset path in step()).
     """
+    batch_size = self.batch_size if batch_size is None else batch_size
     k_sim, k_goal, k_adapter = jax.random.split(key, 3)
     sim_state, obs = simulator_lib.reset(
         k_sim,
         self.lattice,
         config=self.config.sim,
-        batch_size=self.batch_size,
+        batch_size=batch_size,
         return_window=self.features.requires_window or (
             self.features.requires_image and render_image
         ),
@@ -129,13 +145,13 @@ class PuttingDuneEnv:
     goal = goals_lib.sample_goal(
         k_goal, self.lattice, sim_state.material, sim_state.fov
     )
-    adapter_state = self.adapter.init_state(k_adapter, self.batch_size)
+    adapter_state = self.adapter.init_state(k_adapter, batch_size)
     state = EnvState(
         sim=sim_state,
         goal=goal,
         adapter_state=adapter_state,
-        step_count=jnp.zeros((self.batch_size,), jnp.int32),
-        needs_reset=jnp.zeros((self.batch_size,), bool),
+        step_count=jnp.zeros((batch_size,), jnp.int32),
+        needs_reset=jnp.zeros((batch_size,), bool),
     )
     return state, obs
 
@@ -222,31 +238,63 @@ class PuttingDuneEnv:
     )
     # ---- reset branch (fresh episodes for envs flagged needs_reset) -------
     # lax.cond skips the whole fresh-reset computation (FOV/goal/imaging
-    # sampling, window) on steps where no env finished — the common case.
+    # sampling, window) on steps where no env finished. When only a few
+    # envs finished (the common case at large B: ~B/600 per step), fresh
+    # states are built for a compacted K=reset_chunk sub-batch and
+    # scattered back; the exact full-batch reset remains as the fallback
+    # for synchronized finishes (e.g. a whole batch truncating together).
     k_reset, k_img = jax.random.split(k_reset)
     stepped_obs = obs.replace(last_controls=None)
+    needs = state.needs_reset
+    chunk = min(self.config.reset_chunk, self.batch_size)
 
-    def make_reset(_):
-      return self._fresh_state_and_obs(k_reset, render_image=False)
+    def full_reset(_):
+      reset_state, reset_obs = self._fresh_state_and_obs(
+          k_reset, render_image=False
+      )
+
+      def pick(reset_leaf, stepped_leaf):
+        mask = needs.reshape(
+            (self.batch_size,) + (1,) * (stepped_leaf.ndim - 1)
+        )
+        return jnp.where(mask, reset_leaf, stepped_leaf)
+
+      return (
+          jax.tree_util.tree_map(pick, reset_state, stepped_state),
+          jax.tree_util.tree_map(pick, reset_obs, stepped_obs),
+      )
+
+    def sub_reset(_):
+      # Compact finished-env indices; overflow slots point past the batch
+      # so mode='drop' scatters ignore them.
+      idx = jnp.nonzero(needs, size=chunk, fill_value=self.batch_size)[0]
+      fresh_state, fresh_obs = self._fresh_state_and_obs(
+          k_reset, render_image=False, batch_size=chunk
+      )
+
+      def scatter(stepped_leaf, fresh_leaf):
+        return stepped_leaf.at[idx].set(fresh_leaf, mode='drop')
+
+      return (
+          jax.tree_util.tree_map(scatter, stepped_state, fresh_state),
+          jax.tree_util.tree_map(scatter, stepped_obs, fresh_obs),
+      )
+
+    def any_reset(_):
+      if chunk >= self.batch_size:
+        return full_reset(None)
+      return jax.lax.cond(
+          jnp.sum(needs) <= chunk, sub_reset, full_reset, operand=None
+      )
 
     def no_reset(_):
       return stepped_state, stepped_obs
 
-    reset_state, reset_obs = jax.lax.cond(
-        jnp.any(state.needs_reset), make_reset, no_reset, operand=None
-    )
-
-    # ---- select per env ---------------------------------------------------
-    def pick(reset_leaf, stepped_leaf):
-      mask = state.needs_reset.reshape(
-          (self.batch_size,) + (1,) * (stepped_leaf.ndim - 1)
-      )
-      return jnp.where(mask, reset_leaf, stepped_leaf)
-
-    new_state = jax.tree_util.tree_map(pick, reset_state, stepped_state)
     # Raw observations are selected BEFORE feature construction and
     # rendering so the expensive image render happens exactly once.
-    picked_obs = jax.tree_util.tree_map(pick, reset_obs, stepped_obs)
+    new_state, picked_obs = jax.lax.cond(
+        jnp.any(needs), any_reset, no_reset, operand=None
+    )
     if self.features.requires_image:
       window = simulator_lib.atom_window(
           self.lattice,
@@ -264,10 +312,12 @@ class PuttingDuneEnv:
       picked_obs = picked_obs.replace(image=image, window=window)
     observation = self.features(picked_obs, new_state.goal)
 
+    # For reset rows, picked_obs carries the fresh elapsed time, so this
+    # is the FIRST-step discount gamma**elapsed there.
     reset_discount = jnp.power(
-        constants.GAMMA_PER_SECOND, reset_obs.elapsed_seconds
+        constants.GAMMA_PER_SECOND, picked_obs.elapsed_seconds
     ).astype(jnp.float32)
-    mask = state.needs_reset
+    mask = needs
     ts = TimeStep(
         step_type=jnp.where(
             mask, jnp.full_like(step_type, FIRST), step_type

@@ -112,6 +112,67 @@ def test_step_limit_truncates_with_nonzero_discount():
   assert np.asarray(state.step_count).tolist() == [0] * 4
 
 
+def test_subbatch_autoreset_and_overflow_fallback():
+  # reset_chunk=2 < batch_size=8 exercises the compacted sub-batch reset
+  # (2 finished envs) and the full-batch fallback (8 finished at once).
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE,
+      rate_fn=zero_rates,
+      config=env_lib.EnvConfig(sim=SIM_CONFIG, step_limit=3, reset_chunk=2),
+      batch_size=8,
+  )
+  state, _ = env.reset(jax.random.PRNGKey(20))
+  action = jnp.zeros((8, 2))
+
+  # Make exactly envs 1 and 5 terminal by moving their goals onto the Si.
+  si_material = state.sim.fov.microscope_to_material(jnp.full((8, 2), 0.5))
+  on_si = jnp.isin(jnp.arange(8), jnp.array([1, 5]))[:, None]
+  goal_pos = jnp.where(on_si, si_material, state.goal.position_material)
+  state = state.replace(goal=state.goal.replace(position_material=goal_pos))
+  state, ts = env.step(state, action, jax.random.PRNGKey(21))
+  expect = np.where(np.asarray(on_si[:, 0]), env_lib.LAST, env_lib.MID)
+  assert np.asarray(ts.step_type).tolist() == expect.tolist()
+
+  # Next step: the 2 finished envs reset through the sub-batch path.
+  old_goals = np.asarray(state.goal.position_material)
+  state, ts = env.step(state, action, jax.random.PRNGKey(22))
+  expect = np.where(np.asarray(on_si[:, 0]), env_lib.FIRST, env_lib.MID)
+  assert np.asarray(ts.step_type).tolist() == expect.tolist()
+  counts = np.asarray(state.step_count)
+  assert counts[[1, 5]].tolist() == [0, 0]
+  assert (counts[[0, 2, 3, 4, 6, 7]] == 2).all()
+  # Unfinished envs keep their goal; reset envs draw a fresh one in the
+  # sampling ring around their (re-centered) silicon.
+  new_goals = np.asarray(state.goal.position_material)
+  keep = [0, 2, 3, 4, 6, 7]
+  np.testing.assert_allclose(new_goals[keep], old_goals[keep])
+  # Fresh episodes start with the silicon at the FOV center.
+  si_new = np.asarray(
+      state.sim.fov.microscope_to_material(jnp.full((8, 2), 0.5))
+  )
+  d = np.linalg.norm(new_goals[[1, 5]] - si_new[[1, 5]], axis=-1)
+  assert (d > 0.1).all() and (d < 50.0).all()
+  # FIRST rows carry the fresh-episode discount gamma^image_duration.
+  np.testing.assert_allclose(
+      np.asarray(ts.discount)[[1, 5]],
+      constants.GAMMA_PER_SECOND**2.0,
+      rtol=1e-5,
+  )
+
+  # Overflow: all 8 truncate simultaneously at the step limit -> the
+  # full-batch fallback resets every env.
+  state, ts = env.reset(jax.random.PRNGKey(23))
+  key = jax.random.PRNGKey(24)
+  for _ in range(3):
+    key, k = jax.random.split(key)
+    state, ts = env.step(state, action, k)
+  assert np.asarray(ts.step_type).tolist() == [env_lib.LAST] * 8
+  key, k = jax.random.split(key)
+  state, ts = env.step(state, action, k)
+  assert np.asarray(ts.step_type).tolist() == [env_lib.FIRST] * 8
+  assert np.asarray(state.step_count).tolist() == [0] * 8
+
+
 def test_terminal_on_goal_reached():
   env = make_env(rate_fn=zero_rates)
   state, _ = env.reset(jax.random.PRNGKey(6))
