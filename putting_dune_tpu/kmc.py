@@ -97,19 +97,39 @@ def apply_control(
       alive = jnp.logical_and(alive, jnp.min(count) < max_events)
     return alive
 
+  # Loop-invariant pose trig, hoisted out of the while body.
+  cos_t = jnp.cos(theta)
+  sin_t = jnp.sin(theta)
+
   def body(carry):
     key, si, elapsed, active, count, ev_t, ev_s = carry
-    key, k_wait, k_choice = jax.random.split(key, 3)
+    key, k_draw = jax.random.split(key)
 
-    si_pos = lattice_lib.site_position(lattice, si, offset, theta)  # (B, 2)
+    # One fused gather+rotate for the silicon and its 3 neighbors.
     nbr_idx = lattice.neighbors[si]  # (B, 3)
-    nbr_pos = lattice_lib.site_position(lattice, nbr_idx, offset, theta)
+    idx4 = jnp.concatenate([si[:, None], nbr_idx], axis=-1)  # (B, 4)
+    canon = lattice.positions[idx4] + offset[:, None, :]  # (B, 4, 2)
+    cx, cy = canon[..., 0], canon[..., 1]
+    world = jnp.stack(
+        [
+            cx * cos_t[:, None] - cy * sin_t[:, None],
+            cx * sin_t[:, None] + cy * cos_t[:, None],
+        ],
+        axis=-1,
+    )
+    si_pos, nbr_pos = world[:, 0, :], world[:, 1:, :]
 
     rates = rate_fn(si_pos, nbr_pos, beam_position)  # (B, 3)
-    total_rate = jnp.sum(rates, axis=-1)
+    cum = jnp.cumsum(rates, axis=-1)  # (B, 3)
+    total_rate = cum[:, -1]
 
-    # Waiting time ~ Exp(total_rate), clipped (reference graphene.py:666-668).
-    dt = jax.random.exponential(k_wait, (batch,)) / total_rate
+    # One (B, 2) uniform block supplies both draws: the waiting time
+    # -log(1-u0)/lambda ~ Exp(lambda) (same law as jax.random.exponential)
+    # and the successor via inverse-CDF on the cumulative rates (exact
+    # categorical; the reference draws rng.choice(p=rates/total),
+    # graphene.py:679-688 — distribution parity, not stream parity).
+    u = jax.random.uniform(k_draw, (batch, 2))
+    dt = -jnp.log1p(-u[:, 0]) / total_rate
     dt = jnp.minimum(dt, constants.MAX_WAITING_TIME_SECONDS)
     new_elapsed = elapsed + dt
 
@@ -117,8 +137,9 @@ def apply_control(
     # (reference graphene.py:677: elapsed_time <= control.dwell_time).
     fired = jnp.logical_and(active, new_elapsed <= dwell_seconds)
 
-    # Categorical over the 3 successor rates (graphene.py:679-688).
-    choice = jax.random.categorical(k_choice, jnp.log(rates), axis=-1)
+    choice = jnp.sum(
+        (u[:, 1:] * total_rate[:, None]) >= cum[:, :2], axis=-1
+    )
     new_si_candidate = jnp.take_along_axis(
         nbr_idx, choice[:, None], axis=-1
     )[:, 0]

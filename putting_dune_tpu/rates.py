@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Protocol
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,20 +130,31 @@ def _prior_rates_impl(
   max_rate = constants.SIGR_PRIOR_MAX_RATE if max_rate is None else max_rate
 
   rel_neighbors = neighbor_pos - si_pos[..., None, :]  # (B, 3, 2)
-  angles = geometry.get_angles(rel_neighbors)  # (B, 3)
   rel_beam = (beam_pos - si_pos) / constants.CARBON_BOND_DISTANCE_ANGSTROMS
 
+  # cos/sin of each neighbor's angle without atan2/cos/sin: for
+  # a = atan2(dy, dx), cos(a) = dx/r and sin(a) = dy/r. This is the hot
+  # path of the KMC loop body, so transcendentals matter.
+  nx, ny = rel_neighbors[..., 0], rel_neighbors[..., 1]
+  inv_r = jax.lax.rsqrt(nx * nx + ny * ny)
+  c = nx * inv_r  # (B, 3) cos(angle_i)
+  s = ny * inv_r  # (B, 3) sin(angle_i)
+
   mean_arr = jnp.asarray(mean, dtype=jnp.float32)
+  m0, m1 = mean_arr[..., 0], mean_arr[..., 1]
   if aligned:
-    # Rotate the beam into each neighbor's canonical frame; peak when the
-    # beam sits `mean` bond-lengths toward the neighbor.
-    beam_in_frame = geometry.rotate_coordinates(
-        rel_beam[..., None, :], -angles
+    # Rotate the beam into each neighbor's canonical frame (by -angle);
+    # peak when the beam sits `mean` bond-lengths toward the neighbor.
+    bx = rel_beam[..., None, 0]
+    by = rel_beam[..., None, 1]
+    diff = jnp.stack(
+        [bx * c + by * s - m0, -bx * s + by * c - m1], axis=-1
     )
-    diff = beam_in_frame - mean_arr
   else:
-    # Reference behavior: rotate the mean by -angle (graphene.py:223).
-    rotated_mean = geometry.rotate_coordinates(mean_arr, -angles)
+    # Reference behavior: rotate the MEAN by -angle (graphene.py:223).
+    rotated_mean = jnp.stack(
+        [m0 * c + m1 * s, -m0 * s + m1 * c], axis=-1
+    )
     diff = rel_beam[..., None, :] - rotated_mean
   exponent = _gaussian2_exponent(diff, jnp.asarray(cov, dtype=jnp.float32))
   return max_rate * jnp.exp(exponent)
