@@ -46,6 +46,11 @@ class Config:
   # (train.py:95-99); weighting counters the ~8:1 background dominance
   # when training smaller/faster.
   class_weights: Optional[tuple] = None
+  # Warm-start params from this workdir (params.msgpack / best orbax ckpt)
+  # when the run has no orbax checkpoint of its own yet — lets a budgeted
+  # continuation run pick up from the shipped artifact after the previous
+  # run's checkpoints were pruned.
+  init_params_from: str = ''
 
 
 class TrainState(train_state.TrainState):
@@ -120,6 +125,14 @@ def train(config: Config, *, mesh=None, progress=None,
   if mesh is None:
     mesh = mesh_lib.make_mesh()
   state = create_state(config, mesh)
+  if config.init_params_from:
+    warm = load_params(
+        config.init_params_from,
+        dataclasses.replace(config, workdir=config.init_params_from),
+    )
+    state = state.replace(
+        params=jax.device_put(warm, mesh_lib.replicated_sharding(mesh))
+    )
 
   manager = ocp.CheckpointManager(
       os.path.abspath(os.path.join(config.workdir, 'checkpoints')),

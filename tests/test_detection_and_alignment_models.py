@@ -1,5 +1,8 @@
 """Atom-detection + image-alignment model/train/inference tests."""
 
+import dataclasses
+import shutil
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +66,22 @@ def test_detection_training_learns(tmp_path):
   # Reload best params.
   params = det_train.load_params(str(tmp_path), config)
   assert params is not None
+
+  # Warm-start continuation: a fresh workdir with no orbax history picks
+  # up the previous run's params via init_params_from (the shipping step
+  # prunes checkpoints, leaving only params.msgpack behind).
+  det_train.save_params_msgpack(params, str(tmp_path))
+  shutil.rmtree(tmp_path / 'checkpoints')
+  cont_dir = tmp_path / 'continue'
+  cont_dir.mkdir()
+  cont = dataclasses.replace(
+      config, workdir=str(cont_dir), epochs=0,
+      init_params_from=str(tmp_path),
+  )
+  state = det_train.train(cont)
+  jax.tree_util.tree_map(
+      np.testing.assert_allclose, jax.device_get(state.params), params
+  )
 
 
 def test_atom_detector_centroids_on_ideal_segmentation():
