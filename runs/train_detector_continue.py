@@ -47,8 +47,23 @@ def baseline_accuracy(config) -> float:
   return float(np.mean(jax.device_get(accs)))
 
 
+def retained_best_accuracy(workdir: str) -> float:
+  """Best eval accuracy among the orbax checkpoints retained in workdir,
+  across ALL continuation segments (a restarted run must not discard an
+  earlier segment's best)."""
+  import glob
+  import json
+
+  accs = []
+  for path in glob.glob(os.path.join(workdir, 'checkpoints/*/metrics/metrics')):
+    with open(path) as f:
+      accs.append(json.load(f)['accuracy'])
+  return max(accs) if accs else float('-inf')
+
+
 def main() -> None:
   budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 5100.0
+  lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-4
   config = det_train.Config(
       workdir=WORKDIR,
       image_size=256,
@@ -58,7 +73,7 @@ def main() -> None:
       eval_steps=20,
       noisy_images=False,
       class_weights=(0.2, 1.0, 10.0),
-      learning_rate=3e-4,  # fine-tune LR (fresh run used 1e-3)
+      learning_rate=lr,  # fine-tune LR (fresh run used 1e-3)
       init_params_from=WORKDIR,
       seed=7,  # fresh data stream vs the shipped run's seed
   )
@@ -82,9 +97,10 @@ def main() -> None:
       stop_fn=lambda: time.monotonic() - t0 > budget_s,
   )
 
-  if best['accuracy'] <= base:
+  retained = retained_best_accuracy(WORKDIR)
+  if retained <= base:
     print(
-        f'no improvement over baseline ({best["accuracy"]:.4f} <= '
+        f'no improvement over baseline ({retained:.4f} <= '
         f'{base:.4f}); keeping the shipped artifact', flush=True,
     )
     shutil.rmtree(f'{WORKDIR}/checkpoints', ignore_errors=True)
@@ -97,7 +113,7 @@ def main() -> None:
   params = det_train.load_params(WORKDIR, config)
   path = det_train.save_params_msgpack(params, WORKDIR)
   print(
-      f'shipped {path} (accuracy {best["accuracy"]:.4f}, '
+      f'shipped {path} (accuracy {retained:.4f}, '
       f'baseline {base:.4f})', flush=True,
   )
   shutil.rmtree(f'{WORKDIR}/checkpoints', ignore_errors=True)
