@@ -57,6 +57,32 @@ def _splat_axis_kernels(
   return jnp.where(jnp.abs(d) <= radius, kern, 0.0)
 
 
+def _splat_inputs(window, fov, intensity_exponent, s, blur_amount):
+  """Shared splat prologue: bins, weights, per-image sigmas.
+
+  Histogram binning parity: bin = floor(p * S), right edge in last bin;
+  sigma = S / (2.15 * fov_extent) per axis (imaging.py:154-161), with the
+  per-episode post-blur folded in quadrature.
+  """
+  positions = window.positions  # (B, K, 2) in [0, 1]
+  bx = jnp.clip(jnp.floor(positions[..., 0] * s), 0, s - 1)
+  by = jnp.clip(jnp.floor(positions[..., 1] * s), 0, s - 1)
+  sigma_x = s / (2.15 * fov.width)
+  sigma_y = s / (2.15 * fov.height)
+  if blur_amount is not None:
+    sigma_x = jnp.sqrt(jnp.square(sigma_x) + jnp.square(blur_amount))
+    sigma_y = jnp.sqrt(jnp.square(sigma_y) + jnp.square(blur_amount))
+  weights = jnp.where(
+      window.mask,
+      jnp.power(
+          window.atomic_numbers.astype(jnp.float32),
+          intensity_exponent[..., None],
+      ),
+      0.0,
+  )
+  return bx, by, weights, sigma_x, sigma_y
+
+
 def render_clean_image(
     window: structures.AtomWindow,
     fov: structures.FieldOfView,
@@ -64,36 +90,34 @@ def render_clean_image(
     *,
     image_size: int = 512,
     blur_amount: jnp.ndarray | None = None,  # (B,) extra sigma, pixels
+    backend: str = 'auto',
 ) -> jnp.ndarray:
   """Renders max-normalized clean STEM frames, (B, S, S) float32.
 
   Row 0 is the TOP of the image (the reference flips the histogram upside
   down, imaging.py:152); column = x, row = image_size-1 - y_bin.
+
+  backend: 'pallas' runs the fused single-kernel splat
+  (ops/splat_pallas.py — no (B, K, S) HBM factor tensors, exp() per
+  profile entry instead of per (atom, pixel)); 'xla' is the einsum
+  formulation below. 'auto' == 'xla': standalone, the two are at parity
+  on TPU (the einsum is HBM-bound, the kernel gather-bound), and the
+  separate pallas call pipelines worse next to the noise/CLAHE kernels —
+  the fused win is taken by render_stem_image via
+  ops/render_fused_pallas.py (splat+noise in ONE kernel) instead.
   """
   s = image_size
-  positions = window.positions  # (B, K, 2) in [0, 1]
-  mask = window.mask
-
-  # Histogram binning parity: bin = floor(p * S), right edge in last bin.
-  bx = jnp.clip(jnp.floor(positions[..., 0] * s), 0, s - 1)
-  by = jnp.clip(jnp.floor(positions[..., 1] * s), 0, s - 1)
-
-  # sigma = S / (2.15 * fov_extent) per axis (imaging.py:154-161), optionally
-  # folding the post-hoc blur in quadrature.
-  sigma_x = s / (2.15 * fov.width)
-  sigma_y = s / (2.15 * fov.height)
-  if blur_amount is not None:
-    sigma_x = jnp.sqrt(jnp.square(sigma_x) + jnp.square(blur_amount))
-    sigma_y = jnp.sqrt(jnp.square(sigma_y) + jnp.square(blur_amount))
-
-  weights = jnp.where(
-      mask,
-      jnp.power(
-          window.atomic_numbers.astype(jnp.float32),
-          intensity_exponent[..., None],
-      ),
-      0.0,
+  bx, by, weights, sigma_x, sigma_y = _splat_inputs(
+      window, fov, intensity_exponent, s, blur_amount
   )
+
+  if backend == 'pallas':
+    from putting_dune_tpu.ops import splat_pallas
+
+    return splat_pallas.splat_render(
+        bx, by, weights, sigma_x, sigma_y,
+        image_size=s, interpret=jax.default_backend() == 'cpu',
+    )
 
   gx = _splat_axis_kernels(bx, sigma_x, s)  # (B, K, S)
   gy = _splat_axis_kernels(by, sigma_y, s)
@@ -136,6 +160,12 @@ def render_stem_image(
   gather row roll instead of the FFT, frames stay VMEM-resident; same
   stage laws, different PRNG stream); 'xla' runs the imaging/noise.py op
   chain. 'auto' picks the fused kernel on TPU for lane-aligned widths.
+
+  (A fully-fused splat+noise single kernel was built and measured SLOWER
+  — 110k vs 144k frames/s at 256x128^2 — because the per-image
+  (K, S)x(K, S) MXU dot serializes against the VPU noise chain, while
+  the batched XLA einsum pipelines across the whole batch; the einsum +
+  noise-kernel split below is the measured-fastest composition.)
   """
   image = render_clean_image(
       window,

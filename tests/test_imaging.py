@@ -361,3 +361,30 @@ def test_render_noise_backends_share_distribution():
   s1, s2 = float(jnp.std(xla)), float(jnp.std(twin))
   assert abs(m1 - m2) < 0.05, (m1, m2)
   assert abs(s1 - s2) < 0.05, (s1, s2)
+
+
+def test_splat_pallas_matches_xla_backend():
+  """The fused Pallas splat (interpret mode on CPU) matches the XLA einsum.
+
+  On TPU 'auto' routes lane-aligned sizes to ops/splat_pallas.py; the
+  only numeric divergence is the bf16 MXU contraction (~1e-3 relative),
+  which interpret mode reproduces via the same cast.
+  """
+  window, fov, state = _window_and_fov()
+  exponent = jnp.asarray([1.7, 1.5], jnp.float32)
+  blur = jnp.asarray([0.4, 0.9], jnp.float32)
+  size = 128
+  ref = np.asarray(
+      render_lib.render_clean_image(
+          window, fov, exponent, image_size=size, blur_amount=blur,
+          backend='xla',
+      )
+  )
+  got = np.asarray(
+      render_lib.render_clean_image(
+          window, fov, exponent, image_size=size, blur_amount=blur,
+          backend='pallas',
+      )
+  )
+  assert got.shape == ref.shape
+  assert np.abs(got - ref).max() < 5e-3, np.abs(got - ref).max()
