@@ -61,7 +61,10 @@ def _poisson_from_draws(u, z, lam):
   count = jnp.zeros_like(lam)
   for k in range(_POISSON_INVERSION_TERMS):
     count = count + (u > cdf).astype(lam.dtype)
-    pmf = pmf * lam_safe / (k + 1)
+    # x * (1/(k+1)) instead of x / (k+1): the compile-time reciprocal
+    # turns a per-element divide into a multiply (float32 rounding
+    # differs by <=1 ulp per term — far below the sampler's resolution).
+    pmf = pmf * lam_safe * (1.0 / (k + 1))
     cdf = cdf + pmf
   small = count
   large = jnp.maximum(jnp.floor(lam + jnp.sqrt(lam_safe) * z + 0.5), 0.0)
