@@ -263,3 +263,31 @@ def test_shipped_detector_finds_silicon():
         (np.asarray(grid.atomic_numbers) == constants.SILICON).any()
     )
   assert found >= 2
+
+
+def test_shipped_detector_pixel_accuracy():
+  """The shipped detector's eval pixel accuracy stays near its recorded
+  value (92.0% at ship time; the trivial all-background baseline is ~87%).
+  One fresh 8-image batch keeps this affordable on CPU (~40 s)."""
+  import os
+
+  import numpy as np
+  import pytest
+
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'atom_detector'
+  )
+  if not os.path.exists(os.path.join(weights, 'params.msgpack')):
+    pytest.skip('detector weights not shipped yet')
+
+  config = det_train.Config(workdir=weights, image_size=256, batch_size=8)
+  params = det_train.load_params(weights, config)
+  state = det_train.create_state(config)
+  state = state.replace(params=params)
+  it = det_data.dataset_iterator(
+      123, batch_size=8, image_size=256, grid_columns=50, noisy=False
+  )
+  acc = float(jax.device_get(det_train.eval_step(state, next(it))))
+  assert acc > 0.88, acc
