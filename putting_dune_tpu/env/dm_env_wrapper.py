@@ -29,8 +29,13 @@ def _to_dm_timestep(ts: env_lib.TimeStep) -> dm_env.TimeStep:
   obs = jax.tree_util.tree_map(
       lambda x: np.asarray(x)[0], ts.observation
   )
+  step_type = step_type_map[int(np.asarray(ts.step_type)[0])]
+  if step_type is dm_env.StepType.FIRST:
+    # dm_env contract (and dm_env.restart): FIRST timesteps carry no
+    # reward/discount — locked by the official EnvironmentTestMixin.
+    return dm_env.restart(obs)
   return dm_env.TimeStep(
-      step_type=step_type_map[int(np.asarray(ts.step_type)[0])],
+      step_type=step_type,
       reward=float(np.asarray(ts.reward)[0]),
       discount=float(np.asarray(ts.discount)[0]),
       observation=obs,

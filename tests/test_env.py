@@ -304,3 +304,29 @@ def test_evaluate_batched_writes_videos(tmp_path):
   gifs = sorted(os.listdir(tmp_path))
   assert gifs == ['0.gif', '1.gif']
   assert os.path.getsize(tmp_path / '0.gif') > 1000
+
+
+class DmEnvConformanceTest(
+    __import__('dm_env.test_utils', fromlist=['EnvironmentTestMixin']
+               ).EnvironmentTestMixin,
+    __import__('absl.testing.absltest', fromlist=['TestCase']).TestCase,
+):
+  """dm_env's OFFICIAL conformance suite over the single-env wrapper.
+
+  The reference's environment is a dm_env.Environment; this locks the
+  wrapper (env/dm_env_wrapper.py) to the same contract — reset-on-first-
+  step, StepType sequencing, spec validation of every emitted timestep.
+  """
+
+  def make_object_under_test(self):
+    from putting_dune_tpu import run_helpers
+    from putting_dune_tpu.experiments import registry
+
+    exp = registry.create_eval_experiment('relative_random_simple')
+    return run_helpers.create_putting_dune_env(
+        seed=3,
+        get_adapters_and_goal=exp.get_adapters_and_goal,
+        get_simulator_config=exp.get_simulator_config,
+        grid_columns=10,
+        simulator_step_limit=20,
+    )
