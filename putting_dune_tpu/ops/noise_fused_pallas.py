@@ -200,10 +200,11 @@ def _kernel(
     u_bm1 = _uniform_from_bits((h, w))
     u_bm2 = _uniform_from_bits((h, w))
     z_pois, z_gauss = _box_muller(u_bm1, u_bm2)
-    ur1 = _uniform_from_bits((h, _LANE))
-    ur2 = _uniform_from_bits((h, _LANE))
-    ur3 = _uniform_from_bits((h, _LANE))
-    z_row, _ = _box_muller(ur2[:, :1], ur3[:, :1])
+    # One (h, 128) draw supplies all three per-row uniforms: lanes of a
+    # counter-PRNG draw are iid, so distinct columns are independent
+    # streams (saves two full-field PRNG invocations).
+    ur = _uniform_from_bits((h, _LANE))
+    z_row, _ = _box_muller(ur[:, 1:2], ur[:, 2:3])
     draws = {
         'u_pois': _uniform_from_bits((h, w)),
         'z_pois': z_pois,
@@ -211,7 +212,7 @@ def _kernel(
         'u_un': _uniform_from_bits((h, w)),
         'u_ex': _uniform_from_bits((h, w)),
         'z_gauss': z_gauss,
-        'u_row': ur1[:, :1],
+        'u_row': ur[:, :1],
         'z_row': z_row,
     }
     out_ref[i] = chain_from_uniforms(image_ref[i], params, draws)
