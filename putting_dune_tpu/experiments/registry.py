@@ -375,6 +375,24 @@ _EVAL_EXPERIMENTS = {
     ),
 }
 
+# Native addition: every shipped vector-policy checkpoint as an eval
+# experiment (agent + adapters mirror its _MICROSCOPE_EXPERIMENTS entry;
+# sim = prior rates, the configuration the zoo regression test locks), so
+# the whole zoo is drivable through `python -m putting_dune_tpu.eval`.
+_EVAL_EXPERIMENTS.update({
+    f'eval_{name}': experiments.EvalExperiment(
+        get_agent=_MICROSCOPE_EXPERIMENTS[name].get_agent,
+        get_adapters_and_goal=(
+            _MICROSCOPE_EXPERIMENTS[name].get_adapters_and_goal
+        ),
+        get_simulator_config=_get_human_prior_rates_config,
+    )
+    for name in (
+        'ppo_learned_tf_2s', 'ppo_learned_tf_3s', 'ppo_learned_tf_4s',
+        'ppo_v3_2s', 'ppo_v3_3s', 'ppo_v3_4s',
+    )
+})
+
 
 def register_eval_experiment(name, eval_experiment) -> None:
   """Adds an eval experiment if not present (reference :471-478)."""
