@@ -86,6 +86,11 @@ class AtomDetector:
   ) -> 'AtomDetector':
     from putting_dune_tpu.atom_detection import train as train_lib
 
+    # An arch.json sidecar (written at ship time) overrides the default
+    # feature pyramid, so artifacts of any width/depth load correctly.
+    arch = train_lib.load_arch(workdir)
+    if arch is not None:
+      features = tuple(arch['features'])
     config = train_lib.Config(
         workdir=workdir, features=features, image_size=image_size
     )

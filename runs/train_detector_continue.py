@@ -64,6 +64,7 @@ def retained_best_accuracy(workdir: str) -> float:
 def main() -> None:
   budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 5100.0
   lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-4
+  arch = det_train.load_arch(WORKDIR)
   config = det_train.Config(
       workdir=WORKDIR,
       image_size=256,
@@ -76,6 +77,7 @@ def main() -> None:
       learning_rate=lr,  # fine-tune LR (fresh run used 1e-3)
       init_params_from=WORKDIR,
       seed=7,  # fresh data stream vs the shipped run's seed
+      **({'features': tuple(arch['features'])} if arch else {}),
   )
   base = baseline_accuracy(config)
   print(f'warm-start baseline accuracy: {base:.4f}', flush=True)

@@ -282,7 +282,11 @@ def test_shipped_detector_pixel_accuracy():
   if not os.path.exists(os.path.join(weights, 'params.msgpack')):
     pytest.skip('detector weights not shipped yet')
 
-  config = det_train.Config(workdir=weights, image_size=256, batch_size=8)
+  arch = det_train.load_arch(weights)
+  config = det_train.Config(
+      workdir=weights, image_size=256, batch_size=8,
+      **({'features': tuple(arch['features'])} if arch else {}),
+  )
   params = det_train.load_params(weights, config)
   state = det_train.create_state(config)
   state = state.replace(params=params)
