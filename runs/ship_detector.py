@@ -23,7 +23,7 @@ INCUMBENT = 'putting_dune_tpu/experiments/model_weights/atom_detector'
 
 
 def eval_accuracy(workdir: str, features, eval_steps: int, batch: int = 16,
-                  seed: int = 1234) -> float:
+                  seed: int = 1234, noisy: bool = False) -> float:
   config = det_train.Config(
       workdir=workdir, image_size=256, batch_size=batch,
       features=tuple(features),
@@ -35,7 +35,7 @@ def eval_accuracy(workdir: str, features, eval_steps: int, batch: int = 16,
       params=jax.device_put(params, mesh_lib.replicated_sharding(mesh))
   )
   it = data_lib.dataset_iterator(
-      seed, batch_size=batch, image_size=256, grid_columns=50, noisy=False
+      seed, batch_size=batch, image_size=256, grid_columns=50, noisy=noisy
   )
   accs = []
   for _ in range(eval_steps):
@@ -57,6 +57,16 @@ def main() -> None:
   cand_acc = eval_accuracy(candidate, cand_features, eval_steps)
   print(f'incumbent {inc_features}: {inc_acc:.4f}', flush=True)
   print(f'candidate {cand_features}: {cand_acc:.4f}', flush=True)
+  # Robustness (informational): accuracy on fully noisy renders, the
+  # distribution the real-microscope inference path actually sees.
+  inc_noisy = eval_accuracy(
+      INCUMBENT, inc_features, max(eval_steps // 2, 1), noisy=True
+  )
+  cand_noisy = eval_accuracy(
+      candidate, cand_features, max(eval_steps // 2, 1), noisy=True
+  )
+  print(f'noisy-frame accuracy: incumbent {inc_noisy:.4f} '
+        f'candidate {cand_noisy:.4f}', flush=True)
 
   if cand_acc <= inc_acc:
     print('incumbent wins; not shipping', flush=True)
