@@ -295,3 +295,26 @@ def test_shipped_detector_pixel_accuracy():
   )
   acc = float(jax.device_get(det_train.eval_step(state, next(it))))
   assert acc > 0.88, acc
+
+
+def test_detector_arch_sidecar_roundtrip(tmp_path):
+  """A shipped artifact with a non-default feature pyramid reloads with
+  the right architecture via the arch.json sidecar."""
+  import numpy as np
+
+  config = det_train.Config(
+      workdir=str(tmp_path), image_size=64, features=(8, 16)
+  )
+  state = det_train.create_state(config)
+  det_train.save_params_msgpack(state.params, str(tmp_path), config=config)
+
+  # Loader given a DEFAULT config must still reconstruct the (8, 16) net.
+  params = det_train.load_params(str(tmp_path))
+  restored_kernel = params['down_0']['kernel']
+  assert restored_kernel.shape[-1] == 8
+
+  det = det_inference.AtomDetector.from_checkpoint(
+      str(tmp_path), image_size=64
+  )
+  grid = det(np.random.default_rng(0).uniform(0, 1, (64, 64)))
+  assert grid.atomic_numbers.ndim == 1
