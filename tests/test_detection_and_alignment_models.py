@@ -267,8 +267,9 @@ def test_shipped_detector_finds_silicon():
 
 def test_shipped_detector_pixel_accuracy():
   """The shipped detector's eval pixel accuracy stays near its recorded
-  value (92.0% at ship time; the trivial all-background baseline is ~87%).
-  One fresh 8-image batch keeps this affordable on CPU (~40 s)."""
+  value (the trivial all-background baseline is ~87%). One fresh 4-image
+  batch (262k labeled pixels; scene-to-scene variance ~1 point) keeps a
+  reference-scale (64..1024) artifact's CPU forward affordable here."""
   import os
 
   import numpy as np
@@ -284,14 +285,14 @@ def test_shipped_detector_pixel_accuracy():
 
   arch = det_train.load_arch(weights)
   config = det_train.Config(
-      workdir=weights, image_size=256, batch_size=8,
+      workdir=weights, image_size=256, batch_size=4,
       **({'features': tuple(arch['features'])} if arch else {}),
   )
   params = det_train.load_params(weights, config)
   state = det_train.create_state(config)
   state = state.replace(params=params)
   it = det_data.dataset_iterator(
-      123, batch_size=8, image_size=256, grid_columns=50, noisy=False
+      123, batch_size=4, image_size=256, grid_columns=50, noisy=False
   )
   acc = float(jax.device_get(det_train.eval_step(state, next(it))))
   assert acc > 0.88, acc
