@@ -70,6 +70,10 @@ class ImageAligner:
   ) -> 'ImageAligner':
     from putting_dune_tpu.image_alignment import train as train_lib
 
+    # arch.json (written at ship time) overrides the default pyramid.
+    arch = train_lib.load_arch(workdir)
+    if arch is not None:
+      features = tuple(arch['features'])
     config = train_lib.Config(
         workdir=workdir,
         features=features,

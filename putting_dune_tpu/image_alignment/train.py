@@ -235,14 +235,42 @@ def train(config: Config, *, mesh=None, progress=None,
   return state
 
 
-def save_params_msgpack(params, workdir: str) -> str:
-  """Writes a params-only artifact (what ships under model_weights)."""
+def save_params_msgpack(
+    params, workdir: str, config: Optional[Config] = None
+) -> str:
+  """Writes a params-only artifact (what ships under model_weights).
+
+  With config, an arch.json sidecar records the feature pyramid and frame
+  count so loaders reconstruct non-default architectures (same mechanism
+  as atom_detection.train.save_params_msgpack).
+  """
   import flax.serialization
 
   path = os.path.join(workdir, 'params.msgpack')
   with open(path, 'wb') as f:
     f.write(flax.serialization.to_bytes(jax.device_get(params)))
+  if config is not None:
+    import json
+
+    with open(os.path.join(workdir, 'arch.json'), 'w') as f:
+      json.dump(
+          {'features': list(config.features),
+           'num_frames': config.num_frames,
+           'image_size': config.image_size},
+          f,
+      )
   return path
+
+
+def load_arch(workdir: str) -> Optional[dict]:
+  """Reads the arch.json sidecar if present."""
+  import json
+
+  path = os.path.join(workdir, 'arch.json')
+  if not os.path.exists(path):
+    return None
+  with open(path) as f:
+    return json.load(f)
 
 
 def load_params(workdir: str, config: Optional[Config] = None):
@@ -251,6 +279,9 @@ def load_params(workdir: str, config: Optional[Config] = None):
 
   if config is None:
     config = Config(workdir=workdir)
+  arch = load_arch(workdir)
+  if arch is not None and tuple(arch['features']) != tuple(config.features):
+    config = dataclasses.replace(config, features=tuple(arch['features']))
   msgpack_path = os.path.join(workdir, 'params.msgpack')
   if os.path.exists(msgpack_path):
     import flax.serialization
