@@ -76,6 +76,21 @@ def main() -> None:
       workdir=candidate, image_size=256, features=cand_features
   )
   params = det_train.load_params(candidate, config)
+
+  # Half the artifact (the 64..1024 net is ~74 MB f32): ship bf16 weights
+  # when the cast is accuracy-neutral on the same eval stream.
+  bf16 = jax.tree_util.tree_map(
+      lambda x: x.astype('bfloat16') if hasattr(x, 'astype') else x, params
+  )
+  tmp = os.path.join(candidate, '_bf16_probe')
+  os.makedirs(tmp, exist_ok=True)
+  det_train.save_params_msgpack(bf16, tmp)
+  bf16_acc = eval_accuracy(tmp, cand_features, eval_steps)
+  print(f'candidate bf16 cast: {bf16_acc:.4f}', flush=True)
+  if bf16_acc >= cand_acc - 0.001:
+    params, cand_acc = bf16, bf16_acc
+  shutil.rmtree(tmp, ignore_errors=True)
+
   stale = os.path.join(INCUMBENT, 'params.msgpack')
   if os.path.exists(stale):
     os.remove(stale)
