@@ -74,6 +74,20 @@ def main() -> None:
       workdir=candidate, image_size=128, features=cand_features
   )
   params = align_train.load_params(candidate, config)
+
+  # Ship bf16 weights when the cast is drift-neutral (halves the blob).
+  bf16 = jax.tree_util.tree_map(
+      lambda x: x.astype('bfloat16') if hasattr(x, 'astype') else x, params
+  )
+  tmp = os.path.join(candidate, '_bf16_probe')
+  os.makedirs(tmp, exist_ok=True)
+  align_train.save_params_msgpack(bf16, tmp)
+  bf16_drift = eval_drift(tmp, cand_features, eval_steps)
+  print(f'candidate bf16 cast: {bf16_drift:.4f} A', flush=True)
+  if bf16_drift <= cand * 1.02:
+    params, cand = bf16, bf16_drift
+  shutil.rmtree(tmp, ignore_errors=True)
+
   stale = os.path.join(INCUMBENT, 'params.msgpack')
   if os.path.exists(stale):
     os.remove(stale)
