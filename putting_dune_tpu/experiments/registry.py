@@ -458,6 +458,11 @@ _MULTI_DOPANT_EXPERIMENTS = {
         make_env=functools.partial(_make_multi_dopant_env, num_dopants=3),
         num_dopants=3,
     ),
+    'multi_dopant_3_ppo': MultiDopantExperiment(
+        make_env=functools.partial(_make_multi_dopant_env, num_dopants=3),
+        get_agent=PolicyCheckpointAgent('multi_dopant_3'),
+        num_dopants=3,
+    ),
 }
 
 

@@ -70,10 +70,12 @@ class ImageAligner:
   ) -> 'ImageAligner':
     from putting_dune_tpu.image_alignment import train as train_lib
 
-    # arch.json (written at ship time) overrides the default pyramid.
+    # arch.json (written at ship time) overrides the default pyramid and
+    # frame count.
     arch = train_lib.load_arch(workdir)
     if arch is not None:
       features = tuple(arch['features'])
+      history_length = int(arch.get('num_frames', history_length))
     config = train_lib.Config(
         workdir=workdir,
         features=features,

@@ -280,8 +280,15 @@ def load_params(workdir: str, config: Optional[Config] = None):
   if config is None:
     config = Config(workdir=workdir)
   arch = load_arch(workdir)
-  if arch is not None and tuple(arch['features']) != tuple(config.features):
-    config = dataclasses.replace(config, features=tuple(arch['features']))
+  if arch is not None:
+    updates = {}
+    if tuple(arch['features']) != tuple(config.features):
+      updates['features'] = tuple(arch['features'])
+    frames = int(arch.get('num_frames', config.num_frames))
+    if frames != config.num_frames:
+      updates['num_frames'] = frames
+    if updates:
+      config = dataclasses.replace(config, **updates)
   msgpack_path = os.path.join(workdir, 'params.msgpack')
   if os.path.exists(msgpack_path):
     import flax.serialization

@@ -102,9 +102,11 @@ def render_clean_image(
   profile entry instead of per (atom, pixel)); 'xla' is the einsum
   formulation below. 'auto' == 'xla': standalone, the two are at parity
   on TPU (the einsum is HBM-bound, the kernel gather-bound), and the
-  separate pallas call pipelines worse next to the noise/CLAHE kernels —
-  the fused win is taken by render_stem_image via
-  ops/render_fused_pallas.py (splat+noise in ONE kernel) instead.
+  separate pallas call pipelines worse next to the noise/CLAHE kernels
+  (a combined splat+noise kernel was built, measured 110k vs 144k
+  frames/s in the full pipeline, and deleted — see ROADMAP "Frames
+  beyond 150k"), so the shipped composition is einsum splat + fused
+  Pallas noise chain.
   """
   s = image_size
   bx, by, weights, sigma_x, sigma_y = _splat_inputs(

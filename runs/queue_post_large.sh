@@ -6,7 +6,7 @@
 # claim that fails the next attach exactly once).
 set -u
 cd /root/repo
-export PYTHONPATH=/root/repo:$PYTHONPATH
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 L=/root/repo/runs/post_large.log
 
 run2() {
@@ -14,6 +14,13 @@ run2() {
     echo "FAILED: $*" >> "$L"
 }
 
+# Fail CLOSED if the training pid file is missing: starting the queue's
+# TPU jobs while the training still owns the single-owner TPU would make
+# every step fail its attach.
+if [ ! -f /tmp/detL.pid ]; then
+  echo "missing /tmp/detL.pid; refusing to start" >> "$L"
+  exit 1
+fi
 while kill -0 "$(cat /tmp/detL.pid)" 2>/dev/null; do sleep 60; done
 sleep 45
 

@@ -7,8 +7,7 @@ experiments/model_weights/image_aligner when the candidate wins.
 Usage: python runs/ship_aligner.py [candidate_workdir] [eval_steps]
 """
 
-import os
-import shutil
+import functools
 import sys
 
 import jax
@@ -17,6 +16,10 @@ import numpy as np
 from putting_dune_tpu.image_alignment import data as data_lib
 from putting_dune_tpu.image_alignment import train as align_train
 from putting_dune_tpu.parallel import mesh as mesh_lib
+try:
+  from runs import ship_lib
+except ImportError:  # run as `python runs/ship_X.py` without PYTHONPATH
+  import ship_lib
 
 INCUMBENT = 'putting_dune_tpu/experiments/model_weights/image_aligner'
 
@@ -59,7 +62,9 @@ def main() -> None:
   inc_arch = align_train.load_arch(INCUMBENT)
   inc_features = tuple(
       inc_arch['features']) if inc_arch else (32, 64, 128, 256)
-  cand_features = (64, 128, 256, 512)
+  cand_arch = align_train.load_arch(candidate)
+  cand_features = tuple(
+      cand_arch['features']) if cand_arch else (64, 128, 256, 512)
 
   inc = eval_drift(INCUMBENT, inc_features, eval_steps)
   cand = eval_drift(candidate, cand_features, eval_steps)
@@ -76,28 +81,26 @@ def main() -> None:
   params = align_train.load_params(candidate, config)
 
   # Ship bf16 weights when the cast is drift-neutral (halves the blob).
-  bf16 = jax.tree_util.tree_map(
-      lambda x: x.astype('bfloat16') if hasattr(x, 'astype') else x, params
+  # Adopt the cast only if it is BOTH drift-neutral vs the f32 candidate
+  # AND still beats the incumbent (a neutral cast of a narrow win could
+  # otherwise ship a regression).
+  bf16, bf16_drift = ship_lib.probe_bf16(
+      params, candidate, align_train.save_params_msgpack,
+      lambda wd: eval_drift(wd, cand_features, eval_steps),
   )
-  tmp = os.path.join(candidate, '_bf16_probe')
-  os.makedirs(tmp, exist_ok=True)
-  align_train.save_params_msgpack(bf16, tmp)
-  bf16_drift = eval_drift(tmp, cand_features, eval_steps)
   print(f'candidate bf16 cast: {bf16_drift:.4f} A', flush=True)
-  if bf16_drift <= cand * 1.02:
+  if bf16_drift <= cand * 1.02 and bf16_drift < inc:
     params, cand = bf16, bf16_drift
-  shutil.rmtree(tmp, ignore_errors=True)
 
-  stale = os.path.join(INCUMBENT, 'params.msgpack')
-  if os.path.exists(stale):
-    os.remove(stale)
   shipped_config = align_train.Config(
       workdir=INCUMBENT, image_size=128, features=cand_features
   )
-  path = align_train.save_params_msgpack(
-      params, INCUMBENT, config=shipped_config
+  path = ship_lib.ship(
+      params, INCUMBENT,
+      functools.partial(
+          align_train.save_params_msgpack, config=shipped_config
+      ),
   )
-  shutil.rmtree(os.path.join(INCUMBENT, 'checkpoints'), ignore_errors=True)
   print(f'shipped {path} ({cand:.4f} vs {inc:.4f} A)', flush=True)
 
 

@@ -8,8 +8,7 @@ either way; does nothing if the incumbent wins.
 Usage: python runs/ship_detector.py [candidate_workdir] [eval_steps]
 """
 
-import os
-import shutil
+import functools
 import sys
 
 import jax
@@ -18,6 +17,10 @@ import numpy as np
 from putting_dune_tpu.atom_detection import data as data_lib
 from putting_dune_tpu.atom_detection import train as det_train
 from putting_dune_tpu.parallel import mesh as mesh_lib
+try:
+  from runs import ship_lib
+except ImportError:  # run as `python runs/ship_X.py` without PYTHONPATH
+  import ship_lib
 
 INCUMBENT = 'putting_dune_tpu/experiments/model_weights/atom_detector'
 
@@ -51,7 +54,9 @@ def main() -> None:
   inc_arch = det_train.load_arch(INCUMBENT)
   inc_features = tuple(
       inc_arch['features']) if inc_arch else (32, 64, 128, 256)
-  cand_features = (64, 128, 256, 512, 1024)
+  cand_arch = det_train.load_arch(candidate)
+  cand_features = tuple(
+      cand_arch['features']) if cand_arch else (64, 128, 256, 512, 1024)
 
   inc_acc = eval_accuracy(INCUMBENT, inc_features, eval_steps)
   cand_acc = eval_accuracy(candidate, cand_features, eval_steps)
@@ -78,29 +83,26 @@ def main() -> None:
   params = det_train.load_params(candidate, config)
 
   # Half the artifact (the 64..1024 net is ~74 MB f32): ship bf16 weights
-  # when the cast is accuracy-neutral on the same eval stream.
-  bf16 = jax.tree_util.tree_map(
-      lambda x: x.astype('bfloat16') if hasattr(x, 'astype') else x, params
+  # when the cast is accuracy-neutral on the same eval stream. Adopt the
+  # cast only if it is BOTH accuracy-neutral vs the f32 candidate AND
+  # still beats the incumbent.
+  bf16, bf16_acc = ship_lib.probe_bf16(
+      params, candidate, det_train.save_params_msgpack,
+      lambda wd: eval_accuracy(wd, cand_features, eval_steps),
   )
-  tmp = os.path.join(candidate, '_bf16_probe')
-  os.makedirs(tmp, exist_ok=True)
-  det_train.save_params_msgpack(bf16, tmp)
-  bf16_acc = eval_accuracy(tmp, cand_features, eval_steps)
   print(f'candidate bf16 cast: {bf16_acc:.4f}', flush=True)
-  if bf16_acc >= cand_acc - 0.001:
+  if bf16_acc >= cand_acc - 0.001 and bf16_acc > inc_acc:
     params, cand_acc = bf16, bf16_acc
-  shutil.rmtree(tmp, ignore_errors=True)
 
-  stale = os.path.join(INCUMBENT, 'params.msgpack')
-  if os.path.exists(stale):
-    os.remove(stale)
   shipped_config = det_train.Config(
       workdir=INCUMBENT, image_size=256, features=cand_features
   )
-  path = det_train.save_params_msgpack(
-      params, INCUMBENT, config=shipped_config
+  path = ship_lib.ship(
+      params, INCUMBENT,
+      functools.partial(
+          det_train.save_params_msgpack, config=shipped_config
+      ),
   )
-  shutil.rmtree(os.path.join(INCUMBENT, 'checkpoints'), ignore_errors=True)
   print(f'shipped {path} ({cand_acc:.4f} vs {inc_acc:.4f})', flush=True)
 
 

@@ -69,6 +69,7 @@ def retained_best_drift(workdir: str) -> float:
 def main() -> None:
   budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 3600.0
   lr = float(sys.argv[2]) if len(sys.argv) > 2 else 3e-5
+  arch = align_train.load_arch(WORKDIR)
   config = align_train.Config(
       workdir=WORKDIR,
       image_size=128,
@@ -82,6 +83,7 @@ def main() -> None:
       learning_rate=lr,
       init_params_from=WORKDIR,
       seed=11,  # fresh data stream vs the shipped run
+      **({'features': tuple(arch['features'])} if arch else {}),
   )
   base = baseline_drift_error(config)
   print(f'warm-start baseline drift error: {base:.4f} A', flush=True)
@@ -113,7 +115,7 @@ def main() -> None:
   if os.path.exists(stale):
     os.remove(stale)
   params = align_train.load_params(WORKDIR, config)
-  path = align_train.save_params_msgpack(params, WORKDIR)
+  path = align_train.save_params_msgpack(params, WORKDIR, config=config)
   print(
       f'shipped {path} (drift {retained:.4f} A, baseline {base:.4f} A)',
       flush=True,

@@ -9,6 +9,8 @@ runs/ship_aligner.py if the eval drift error clearly beats the incumbent.
 Usage: python runs/train_aligner_large.py [budget_seconds] [batch]
 """
 
+import json
+import os
 import sys
 import time
 
@@ -34,6 +36,17 @@ def main() -> None:
       features=(64, 128, 256, 512),
       seed=5,
   )
+  # Record the architecture in the workdir up front so downstream tools
+  # (runs/ship_aligner.py) resolve the candidate pyramid from the sidecar
+  # instead of a hard-coded default.
+  os.makedirs(WORKDIR, exist_ok=True)
+  with open(os.path.join(WORKDIR, 'arch.json'), 'w') as f:
+    json.dump(
+        {'features': list(config.features),
+         'num_frames': config.num_frames,
+         'image_size': config.image_size},
+        f,
+    )
   t0 = time.monotonic()
   best = {'drift': float('inf')}
 

@@ -113,7 +113,7 @@ def main() -> None:
   if os.path.exists(stale):
     os.remove(stale)
   params = det_train.load_params(WORKDIR, config)
-  path = det_train.save_params_msgpack(params, WORKDIR)
+  path = det_train.save_params_msgpack(params, WORKDIR, config=config)
   print(
       f'shipped {path} (accuracy {retained:.4f}, '
       f'baseline {base:.4f})', flush=True,

@@ -11,6 +11,8 @@ runs/ship_detector.py if the eval accuracy clearly beats the incumbent.
 Usage: python runs/train_detector_large.py [budget_seconds] [batch]
 """
 
+import json
+import os
 import sys
 import time
 
@@ -35,6 +37,16 @@ def main() -> None:
       features=(64, 128, 256, 512, 1024),
       seed=3,
   )
+  # Record the architecture in the workdir up front so downstream tools
+  # (runs/ship_detector.py) resolve the candidate pyramid from the
+  # sidecar instead of a hard-coded default.
+  os.makedirs(WORKDIR, exist_ok=True)
+  with open(os.path.join(WORKDIR, 'arch.json'), 'w') as f:
+    json.dump(
+        {'features': list(config.features),
+         'image_size': config.image_size},
+        f,
+    )
   t0 = time.monotonic()
   best = {'accuracy': 0.0}
 

@@ -319,3 +319,33 @@ def test_detector_arch_sidecar_roundtrip(tmp_path):
   )
   grid = det(np.random.default_rng(0).uniform(0, 1, (64, 64)))
   assert grid.atomic_numbers.ndim == 1
+
+
+def test_aligner_arch_sidecar_roundtrip(tmp_path):
+  """A shipped aligner with a non-default pyramid AND frame count
+  reloads with the right architecture via the arch.json sidecar — both
+  through load_params (a default config) and ImageAligner.from_checkpoint
+  (default kwargs)."""
+  config = align_train.Config(
+      workdir=str(tmp_path), image_size=64, features=(8, 16), num_frames=3
+  )
+  state = align_train.create_state(config)
+  align_train.save_params_msgpack(state.params, str(tmp_path), config=config)
+
+  # Loader given NO config must reconstruct the (8, 16) x 3-frame net.
+  params = align_train.load_params(str(tmp_path))
+  assert params['down_0']['kernel'].shape[-1] == 8
+  # local head: 3 classes x 3 frames.
+  assert params['local_head']['kernel'].shape[-1] == 9
+
+  aligner = align_inference.ImageAligner.from_checkpoint(
+      str(tmp_path), image_size=64, hybrid=False,
+      adaptive_normalization=False,
+  )
+  assert aligner.history_length == 3
+  grid, drift, probs = aligner(
+      np.random.default_rng(0).uniform(0, 1, (64, 64)),
+      md.MicroscopeFieldOfView(np.zeros(2), np.full(2, 20.0)),
+  )
+  assert drift.shape == (2,)
+  assert probs.shape == (64, 64, 3)

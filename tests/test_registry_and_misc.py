@@ -139,3 +139,30 @@ def test_multi_dopant_registry_checkpoint_reaches_goals():
   agg = eval_lib.aggregate_results(results)
   assert agg.average_num_times_reached_goal >= 0.75
   assert agg.evaluator == eval_lib.BATCHED_EVALUATOR
+
+
+def test_multi_dopant_3_registry_checkpoint_reaches_goals():
+  """The shipped multi_dopant_3 policy drives all three dopants to their
+  goals through the registry + batched evaluator (skips until the
+  checkpoint ships)."""
+  import os
+
+  import pytest
+
+  from putting_dune_tpu import eval_lib
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'multi_dopant_3'
+  )
+  if not os.path.isdir(weights):
+    pytest.skip('multi_dopant_3 weights not shipped')
+
+  exp = registry.create_multi_dopant_experiment('multi_dopant_3_ppo')
+  env = exp.make_env(4, step_limit=300)
+  agent = exp.get_agent(None, None)
+  results = eval_lib.evaluate_batched(
+      env, agent.policy(), list(range(4)), max_steps=300
+  )
+  agg = eval_lib.aggregate_results(results)
+  assert agg.average_num_times_reached_goal >= 0.5
+  assert agg.evaluator == eval_lib.BATCHED_EVALUATOR
