@@ -11,10 +11,11 @@ labeled entirely on the accelerator.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from putting_dune_tpu import constants
 from putting_dune_tpu import lattice as lattice_lib
@@ -79,12 +80,26 @@ def dataset_iterator(
     image_size: int = 128,
     grid_columns: int = 50,
     noisy: bool = False,
+    noisy_fraction: Optional[float] = None,
 ) -> Iterator[Dict[str, jnp.ndarray]]:
-  """Endless stream of freshly generated batches."""
+  """Endless stream of freshly generated batches.
+
+  noisy_fraction, when set, overrides `noisy` with a per-batch Bernoulli
+  draw (deterministic from seed): each batch is rendered fully noisy with
+  that probability and clean otherwise. `noisy` stays a static jit arg,
+  so a mixed stream alternates between the two compiled programs instead
+  of branching on device.
+  """
   lattice = lattice_lib.make_lattice(grid_columns)
   key = jax.random.PRNGKey(seed)
+  mix_rng = np.random.default_rng(seed) if noisy_fraction is not None else None
   while True:
     key, k = jax.random.split(key)
+    batch_noisy = (
+        bool(mix_rng.random() < noisy_fraction) if mix_rng is not None
+        else noisy
+    )
     yield sample_batch(
-        k, lattice, batch_size=batch_size, image_size=image_size, noisy=noisy
+        k, lattice, batch_size=batch_size, image_size=image_size,
+        noisy=batch_noisy,
     )

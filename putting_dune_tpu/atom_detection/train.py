@@ -41,6 +41,11 @@ class Config:
   features: tuple = (32, 64, 128, 256)
   grid_columns: int = 50
   noisy_images: bool = False
+  # When set, the TRAIN stream mixes fully-noisy batches in with this
+  # per-batch probability (eval keeps noisy_images) — robustness training
+  # for the real-microscope distribution without giving up the clean
+  # metric.
+  noisy_fraction: Optional[float] = None
   # Optional per-class CE weights (background, carbon, silicon). The
   # reference uses unweighted CE over very large data budgets
   # (train.py:95-99); weighting counters the ~8:1 background dominance
@@ -158,6 +163,7 @@ def train(config: Config, *, mesh=None, progress=None,
   local_batch = mesh_lib.process_local_batch_size(config.batch_size)
   train_iter = data_lib.dataset_iterator(
       mesh_lib.process_data_seed(config.seed),
+      noisy_fraction=config.noisy_fraction,
       batch_size=local_batch,
       image_size=config.image_size,
       grid_columns=config.grid_columns,

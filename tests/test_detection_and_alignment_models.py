@@ -46,6 +46,30 @@ def test_detection_data_batch():
   assert class_counts[0] > class_counts[1] > class_counts[2]
 
 
+def test_detection_mixed_noise_iterator():
+  """noisy_fraction mixes clean and noisy batches deterministically.
+
+  The per-batch PRNG key stream is independent of the mix draw, so a
+  mixed-stream batch equals the clean stream's batch exactly when the
+  Bernoulli drew False."""
+  kwargs = dict(batch_size=1, image_size=32, grid_columns=10)
+  mixed = det_data.dataset_iterator(9, noisy_fraction=0.5, **kwargs)
+  clean = det_data.dataset_iterator(9, noisy=False, **kwargs)
+  same = [
+      bool(jnp.allclose(next(mixed)['image'], next(clean)['image']))
+      for _ in range(16)
+  ]
+  assert any(same) and not all(same), same
+
+  mixed2 = det_data.dataset_iterator(9, noisy_fraction=0.5, **kwargs)
+  clean2 = det_data.dataset_iterator(9, noisy=False, **kwargs)
+  same2 = [
+      bool(jnp.allclose(next(mixed2)['image'], next(clean2)['image']))
+      for _ in range(16)
+  ]
+  assert same == same2  # deterministic from the seed
+
+
 def test_detection_training_learns(tmp_path):
   config = det_train.Config(
       workdir=str(tmp_path),
