@@ -34,11 +34,11 @@ ENV_STEP_BASELINE = 1_000_000.0
 FRAMES_BASELINE = 50_000.0
 
 
-def bench_env_steps() -> float:
+def bench_env_steps(rate_fn=rates_lib.prior_rates) -> float:
   lattice = lattice_lib.make_lattice(50)
   env = env_lib.PuttingDuneEnv(
       lattice=lattice,
-      rate_fn=rates_lib.prior_rates,
+      rate_fn=rate_fn,
       adapter=action_adapters.RelativeToSiliconActionAdapter(),
       features=features_lib.SingleSiliconPristineGrapheneFeatures(),
       config=env_lib.EnvConfig(),
@@ -115,6 +115,35 @@ def bench_frames(
   return batch * rounds / best
 
 
+def bench_env_steps_learned() -> float:
+  """Env steps/sec with the shipped distilled NEURAL rate predictor
+  inside the KMC loop.
+
+  The reference's learned-rate simulators route through a TF SavedModel
+  call per KMC iteration (learn_rates.py:925-972); here the ensemble-
+  distilled student MLP runs natively inside the batched lax.while_loop.
+  Returns 0.0 when the shipped predictor is absent.
+  """
+  import os
+
+  from putting_dune_tpu.experiments import registry as registry_lib
+  from putting_dune_tpu.rate_learning import config as rl_config
+  from putting_dune_tpu.rate_learning import predictor as predictor_lib
+
+  workdir = os.path.join(
+      os.path.dirname(registry_lib.__file__), 'model_weights',
+      'rate_predictor',
+  )
+  if not os.path.isdir(workdir):
+    return 0.0
+  predictor = predictor_lib.LearnedRatePredictor(
+      init_key=jax.random.PRNGKey(0),
+      config=rl_config.RateLearningConfig(beam_units='angstroms'),
+  )
+  predictor.load(workdir)
+  return bench_env_steps(rate_fn=predictor.as_rate_function())
+
+
 def bench_image_env_steps() -> float:
   """Env steps/sec with 128x128 image observations (BASELINE config 3)."""
   lattice = lattice_lib.make_lattice(50)
@@ -168,6 +197,10 @@ def main():
   frames512_ps = bench_frames(image_size=512, batch=64, rounds=16)
   image_env_sps = bench_image_env_steps()
   env_sps = bench_env_steps()
+  try:
+    learned_sps = bench_env_steps_learned()
+  except Exception:  # the headline bench must never die on an extra
+    learned_sps = 0.0
   result = {
       'metric': 'env_steps_per_sec_1024envs',
       'value': round(env_sps, 1),
@@ -176,6 +209,7 @@ def main():
       'stem_frames_128_per_sec': round(frames_ps, 1),
       'stem_frames_512_per_sec': round(frames512_ps, 1),
       'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
+      'learned_rate_env_steps_per_sec_1024envs': round(learned_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),
   }
