@@ -20,6 +20,11 @@ EXPERIMENTS = (
     'eval_ppo_v3_2s',
     'eval_ppo_v3_3s',
     'eval_ppo_v3_4s',
+    # Multi-dopant extension (beyond-parity): routed through the same
+    # eval CLI; checkpoints load lazily so an unshipped policy just
+    # reports FAILED without stopping the sweep.
+    'multi_dopant_2_ppo',
+    'multi_dopant_3_ppo',
 )
 
 
