@@ -98,6 +98,11 @@ class EvalAgent(agent_lib.Agent):
         lambda params, obs: module.apply({'params': params}, obs)
     )
 
+  @property
+  def params(self):
+    """The frozen policy params (e.g. to warm-start a continuation run)."""
+    return self._params
+
   def step(self, time_step) -> np.ndarray:
     obs = jax.tree_util.tree_map(
         lambda x: jnp.asarray(np.asarray(x))[None], time_step.observation

@@ -121,7 +121,7 @@ def make_train_fns(
       optax.adam(config.learning_rate),
   )
 
-  def init_carry(key: jax.Array):
+  def init_carry(key: jax.Array, init_params=None):
     key, k_init, k_reset = jax.random.split(key, 3)
     spec = env.observation_spec()
     if isinstance(spec, dict):
@@ -131,6 +131,13 @@ def make_train_fns(
     else:
       dummy = jnp.zeros((1,) + tuple(spec.shape))
     params = module.init(k_init, dummy)['params']
+    if init_params is not None:
+      # Warm start (continuation runs): adopt the given actor-critic
+      # params; the template init above pins the expected tree/shape.
+      params = jax.tree_util.tree_map(
+          lambda t, p: jnp.asarray(p).astype(t.dtype).reshape(t.shape),
+          params, init_params,
+      )
     opt_state = optimizer.init(params)
     env_state, ts = env.reset(k_reset)
     return (params, opt_state, env_state, ts, key)
@@ -349,6 +356,7 @@ def train_and_save(
     updates_per_chunk: Optional[int] = None,
     max_wall_seconds: Optional[float] = None,
     log_every_chunk: bool = False,
+    init_params_from: Optional[str] = None,
 ):
   """Trains PPO and saves the policy as an EvalAgent checkpoint.
 
@@ -356,18 +364,47 @@ def train_and_save(
   saving a rolling checkpoint to save_dir after every chunk (long runs
   survive interruption) and stopping early once max_wall_seconds is
   exceeded. Without it, the whole run is one device call.
+
+  init_params_from warm-starts from a saved 'actor_critic' EvalAgent
+  checkpoint dir (image policies keep the full actor-critic, so a
+  continuation is lossless). MLP checkpoints drop the critic at save
+  time and cannot seed PPO; they are rejected.
   """
+  import json as _json
+  import os as _os
   import time as _time
 
+  init_params = None
+  if init_params_from:
+    with open(_os.path.join(init_params_from, 'policy.json')) as f:
+      kind = _json.load(f)['kind']
+    if kind != 'actor_critic':
+      raise ValueError(
+          f'init_params_from supports actor_critic checkpoints only, '
+          f'got {kind!r} at {init_params_from} (MLP checkpoints keep the '
+          f'actor tower but drop the critic).'
+      )
+    from putting_dune_tpu.agents import eval_agent as _eval_agent
+
+    init_params = _eval_agent.EvalAgent.load(init_params_from).params
+
   if updates_per_chunk is None:
-    train, module = make_train(env, config)
+    init_carry, run_updates, module = make_train_fns(env, config)
+
+    @jax.jit
+    def train(key):
+      carry, metrics = run_updates(
+          init_carry(key, init_params), config.num_updates
+      )
+      return carry[0], metrics
+
     params, metrics = train(jax.random.PRNGKey(seed))
     agent = as_eval_agent(params, env, config)
     agent.save(save_dir)
     return agent, jax.device_get(metrics)
 
   init_carry, run_updates, module = make_train_fns(env, config)
-  carry = init_carry(jax.random.PRNGKey(seed))
+  carry = init_carry(jax.random.PRNGKey(seed), init_params)
   chunks: list = []
   done = 0
   t0 = _time.monotonic()

@@ -46,6 +46,11 @@ def main() -> None:
       help='Rendered STEM frame resolution for image envs (default 512; '
       'training pixel policies at 256 or 128 is much faster).',
   )
+  parser.add_argument(
+      '--init_params_from', default=None,
+      help='Warm-start from a saved actor_critic EvalAgent checkpoint '
+      'dir (continuation runs for image policies).',
+  )
   args = parser.parse_args()
 
   import jax
@@ -75,6 +80,7 @@ def main() -> None:
       updates_per_chunk=args.updates_per_chunk,
       max_wall_seconds=args.max_wall_seconds,
       log_every_chunk=args.updates_per_chunk is not None,
+      init_params_from=args.init_params_from,
   )
   np.savez_compressed(
       os.path.join(args.workdir, 'train_metrics.npz'), **metrics

@@ -109,6 +109,72 @@ def test_ppo_from_pixels(tmp_path):
   assert (np.abs(np.asarray(actions)) <= 1.0).all()
 
 
+def test_ppo_warm_start_from_actor_critic(tmp_path):
+  """A continuation run seeds its params from a saved actor_critic
+  checkpoint (lossless for image policies, which keep the critic)."""
+  import jax
+  import jax.numpy as jnp
+  import putting_dune_tpu.simulator as sim_lib
+  import pytest
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu import rates as rates_lib
+  from putting_dune_tpu.env import action_adapters, env as env_lib
+  from putting_dune_tpu.env import features as features_lib
+
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(20),
+      rate_fn=rates_lib.simple_canonical_rates,
+      adapter=action_adapters.RelativeToSiliconActionAdapter(),
+      features=features_lib.ImageFeatures(image_size=64),
+      config=env_lib.EnvConfig(
+          sim=sim_lib.SimulatorConfig(grid_columns=20, image_size=64)
+      ),
+      batch_size=8,
+  )
+  config = ppo.PPOConfig(
+      num_updates=1,
+      rollout_length=4,
+      num_epochs=1,
+      num_minibatches=2,
+      hidden=(32,),
+      conv_features=(4, 8),
+  )
+  first_dir = str(tmp_path / 'first')
+  ppo.train_and_save(env, first_dir, config=config, seed=0)
+
+  # The warm-started carry must hold exactly the checkpoint's params.
+  init_carry, _, _ = ppo.make_train_fns(env, config)
+  loaded = eval_agent.EvalAgent.load(first_dir).params
+  carry = init_carry(jax.random.PRNGKey(3), loaded)
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_array_equal(
+          np.asarray(a), np.asarray(b)
+      ),
+      carry[0], loaded,
+  )
+
+  # And a full continuation run accepts init_params_from end-to-end.
+  agent, metrics = ppo.train_and_save(
+      env, str(tmp_path / 'second'), config=config, seed=1,
+      init_params_from=first_dir,
+  )
+  assert np.isfinite(metrics['loss']).all()
+
+  # MLP (vector) checkpoints are rejected with a clear error.
+  vec_env = test_utils.create_simple_environment(batch_size=8)
+  vec_config = ppo.PPOConfig(
+      num_updates=1, rollout_length=4, num_epochs=1, num_minibatches=2,
+      hidden=(16,),
+  )
+  vec_dir = str(tmp_path / 'vec')
+  ppo.train_and_save(vec_env, vec_dir, config=vec_config, seed=0)
+  with pytest.raises(ValueError, match='actor_critic'):
+    ppo.train_and_save(
+        vec_env, str(tmp_path / 'vec2'), config=vec_config, seed=1,
+        init_params_from=vec_dir,
+    )
+
+
 def test_ppo_reward_shaping_runs():
   """Shaped training runs and produces finite metrics (vector env)."""
   env = test_utils.create_simple_environment(batch_size=16)
