@@ -10,10 +10,11 @@ cumulative drifts (angstroms) relative to the final frame.
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from putting_dune_tpu import lattice as lattice_lib
 from putting_dune_tpu import simulator as simulator_lib
@@ -218,19 +219,31 @@ def dataset_iterator(
     num_frames: int = 5,
     grid_columns: int = 50,
     noisy: bool = False,
+    noisy_fraction: Optional[float] = None,
     max_drift_per_step: float = 1.0,
     registration_noise: float = 0.0,
     inference_preprocessing: bool = False,
     seed_fraction: float = 0.0,
 ):
+  """Endless stream of drifting frame stacks.
+
+  noisy_fraction, when set, overrides `noisy` with a per-batch Bernoulli
+  draw (deterministic from seed) — same mixed-stream mechanism as
+  atom_detection.data.dataset_iterator.
+  """
   lattice = lattice_lib.make_lattice(grid_columns)
   key = jax.random.PRNGKey(seed)
+  mix_rng = np.random.default_rng(seed) if noisy_fraction is not None else None
   while True:
     key, k = jax.random.split(key)
+    batch_noisy = (
+        bool(mix_rng.random() < noisy_fraction) if mix_rng is not None
+        else noisy
+    )
     yield sample_stack(
         k, lattice,
         batch_size=batch_size, image_size=image_size,
-        num_frames=num_frames, noisy=noisy,
+        num_frames=num_frames, noisy=batch_noisy,
         max_drift_per_step=max_drift_per_step,
         registration_noise=registration_noise,
         inference_preprocessing=inference_preprocessing,

@@ -40,6 +40,10 @@ class Config:
   final_step_only: bool = False
   grid_columns: int = 50
   noisy_images: bool = False
+  # When set, the TRAIN stream mixes fully-noisy frame stacks in with
+  # this per-batch probability (eval keeps noisy_images) — robustness
+  # training for the real-microscope distribution.
+  noisy_fraction: Optional[float] = None
   # > 0 switches data gen to the inference-matched protocol: history
   # frames registered up to this claim residual (angstroms) with
   # pad_and_crop border emulation; labels = per-frame truth-minus-claim.
@@ -190,6 +194,7 @@ def train(config: Config, *, mesh=None, progress=None,
       num_frames=config.num_frames,
       grid_columns=config.grid_columns,
       noisy=config.noisy_images,
+      noisy_fraction=config.noisy_fraction,
       registration_noise=config.registration_noise,
       inference_preprocessing=config.inference_preprocessing,
       seed_fraction=config.seed_fraction,
