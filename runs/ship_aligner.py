@@ -25,10 +25,10 @@ INCUMBENT = 'putting_dune_tpu/experiments/model_weights/image_aligner'
 
 
 def eval_drift(workdir: str, features, eval_steps: int, batch: int = 32,
-               seed: int = 4321) -> float:
+               seed: int = 4321, noisy: bool = False) -> float:
   config = align_train.Config(
       workdir=workdir, image_size=128, batch_size=batch,
-      features=tuple(features),
+      features=tuple(features), noisy_images=noisy,
       registration_noise=0.35, inference_preprocessing=True,
       seed_fraction=0.25,
   )
@@ -70,6 +70,16 @@ def main() -> None:
   cand = eval_drift(candidate, cand_features, eval_steps)
   print(f'incumbent {inc_features}: {inc:.4f} A', flush=True)
   print(f'candidate {cand_features}: {cand:.4f} A', flush=True)
+  # Robustness (informational): drift error on fully noisy renders, the
+  # distribution the real-microscope inference path actually sees.
+  inc_noisy = eval_drift(
+      INCUMBENT, inc_features, max(eval_steps // 2, 1), noisy=True
+  )
+  cand_noisy = eval_drift(
+      candidate, cand_features, max(eval_steps // 2, 1), noisy=True
+  )
+  print(f'noisy-frame drift: incumbent {inc_noisy:.4f} A '
+        f'candidate {cand_noisy:.4f} A', flush=True)
 
   if cand >= inc:
     print('incumbent wins; not shipping', flush=True)
