@@ -59,6 +59,60 @@ def _get_greedy_agent(
   )
 
 
+def _get_planner_agent(
+    rng,
+    adapters_and_goal,
+    rate_fn=None,
+    lookahead_discount: float = 0.0,
+):
+  """Rate-aware planning controller (beyond-parity; agents/planner.py).
+
+  The dwell passed to the planner must match the adapter's so the
+  first-transition probabilities it optimizes are the ones the simulator
+  will realize.
+  """
+  del rng
+  from putting_dune_tpu.agents import planner as planner_lib
+
+  adapter = adapters_and_goal.action_adapter
+  return planner_lib.PlannerAgent(
+      rate_fn=rate_fn if rate_fn is not None else rates_lib.prior_rates,
+      dwell_seconds=float(adapter.min_dwell_seconds),
+      lookahead_discount=lookahead_discount,
+  )
+
+
+def _get_learned_planner_agent(rng, adapters_and_goal):
+  """Planner over the SHIPPED distilled neural rate model: the full
+  model-based loop (simulate -> learn rates -> plan with the learned
+  model). Raises if the rate_predictor artifact is absent."""
+  del rng
+  import jax
+
+  from putting_dune_tpu.agents import planner as planner_lib
+  from putting_dune_tpu.rate_learning import config as rl_config
+  from putting_dune_tpu.rate_learning import predictor as predictor_lib
+
+  workdir = os.path.join(
+      os.path.dirname(__file__), 'model_weights', 'rate_predictor'
+  )
+  if not os.path.isdir(workdir):
+    raise FileNotFoundError(
+        f'No shipped rate predictor at {workdir}; train one with '
+        'pipeline/train_rate_learner or runs/rate_loop_production.py.'
+    )
+  predictor = predictor_lib.LearnedRatePredictor(
+      init_key=jax.random.PRNGKey(0),
+      config=rl_config.RateLearningConfig(beam_units='angstroms'),
+  )
+  predictor.load(workdir)
+  adapter = adapters_and_goal.action_adapter
+  return planner_lib.PlannerAgent(
+      rate_fn=predictor.as_rate_function(),
+      dwell_seconds=float(adapter.min_dwell_seconds),
+  )
+
+
 @dataclasses.dataclass(frozen=True)
 class PolicyCheckpointAgent:
   """Loads a locally saved eval policy (native replacement for TF agents)."""
@@ -169,6 +223,12 @@ def _get_simple_rates_config() -> experiments.SimulatorSpec:
 def _get_human_prior_rates_config() -> experiments.SimulatorSpec:
   return experiments.SimulatorSpec(
       rate_fn=rates_lib.prior_rates, image_duration_seconds=2.0
+  )
+
+
+def _get_aligned_prior_rates_config() -> experiments.SimulatorSpec:
+  return experiments.SimulatorSpec(
+      rate_fn=rates_lib.prior_rates_aligned, image_duration_seconds=2.0
   )
 
 
@@ -372,6 +432,46 @@ _EVAL_EXPERIMENTS = {
         ),
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
         get_simulator_config=_get_simple_rates_config,
+    ),
+    # Native additions: the rate-aware planning controller
+    # (agents/planner.py) under each rate law, plus greedy baselines on
+    # the same adapters for head-to-head comparison.
+    'planner_simple_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent, rate_fn=rates_lib.simple_canonical_rates
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_simple_rates_config,
+    ),
+    'planner_prior_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent, rate_fn=rates_lib.prior_rates
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
+    'greedy_prior_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.42, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
+    # Model-based control with the LEARNED dynamics model: the simulator
+    # runs the physically-intended aligned prior, the planner plans with
+    # the shipped distilled neural predictor trained on data simulated
+    # from that law (runs/rate_loop_production.py).
+    'planner_learned_rates': experiments.EvalExperiment(
+        get_agent=_get_learned_planner_agent,
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_aligned_prior_rates_config,
+    ),
+    'greedy_aligned_prior_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_greedy_agent, argmax=np.array([1.42, 0.0])
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_aligned_prior_rates_config,
     ),
 }
 
