@@ -75,6 +75,8 @@ def planner_policy(
     dwell_seconds: float = 5.0,
     candidates: np.ndarray,
     lookahead_discount: float = 0.0,
+    dwell_grid_seconds: Optional[np.ndarray] = None,
+    image_duration_seconds: float = 2.0,
 ) -> jnp.ndarray:
   """Batched pure planner policy over 10-dim material-frame features.
 
@@ -84,14 +86,25 @@ def planner_policy(
       [si_xy, 3 neighbor deltas, goal delta], angstroms.
     rate_fn: the planning model; any KMC RateFunction
       (si, neighbors, beam) -> (B, 3) rates.
-    dwell_seconds: beam dwell per action (must match the adapter).
+    dwell_seconds: beam dwell per action (must match the adapter) when the
+      dwell is fixed.
     candidates: (K, 2) candidate beam offsets from the silicon, angstroms.
     lookahead_discount: weight of the geometric second-step bonus
       (0 disables it).
+    dwell_grid_seconds: if set, ALSO optimize the dwell over this (D,)
+      grid of seconds, scoring expected progress PER SIMULATED SECOND
+      (dwell + image time — the quantity the env clock charges and the
+      terminal reward gamma**elapsed discounts, simulator.py clock). The
+      returned action then has a 3rd dim: the dwell as a [0, 1] fraction
+      of [grid_min, grid_max], matching the variable-dwell adapters
+      (action_adapters._dwell_from_action).
+    image_duration_seconds: per-action imaging time added to the clock.
 
   Returns:
-    (B, 2) material-frame actions (beam deltas from the silicon, angstroms)
-    for RelativeToSiliconMaterialFrameActionAdapter.
+    (B, 2) material-frame actions (beam deltas from the silicon,
+    angstroms) for RelativeToSiliconMaterialFrameActionAdapter — or
+    (B, 3) with the dwell fraction appended when dwell_grid_seconds is
+    set.
   """
   del key
   batch = observation.shape[0]
@@ -113,12 +126,9 @@ def planner_policy(
   r = jnp.maximum(r, 0.0)
 
   total = jnp.sum(r, axis=-1)  # (B, K)
-  # P(first transition = i, within dwell) under the exponential waiting-time
-  # law the KMC engine samples from (kmc.py waiting-time draw).
-  p_any = 1.0 - jnp.exp(-total * dwell_seconds)
-  p = jnp.where(
+  frac = jnp.where(
       total[..., None] > 0.0, r / jnp.maximum(total[..., None], 1e-30), 0.0
-  ) * p_any[..., None]  # (B, K, 3)
+  )  # (B, K, 3)
 
   # Progress toward goal of each one-hop move, angstroms.
   dist_now = jnp.linalg.norm(goal_delta, axis=-1)  # (B,)
@@ -153,9 +163,32 @@ def planner_policy(
     ).max(axis=-1)  # (B, 3)
     value = value + lookahead_discount * bonus
 
-  score = jnp.sum(p * value[:, None, :], axis=-1)  # (B, K)
-  best = jnp.argmax(score, axis=-1)  # (B,)
-  return cand[best]
+  if dwell_grid_seconds is None:
+    # P(first transition = i, within dwell) under the exponential
+    # waiting-time law the KMC engine samples from (kmc.py).
+    p_any = 1.0 - jnp.exp(-total * dwell_seconds)  # (B, K)
+    score = jnp.sum(
+        frac * p_any[..., None] * value[:, None, :], axis=-1
+    )  # (B, K)
+    best = jnp.argmax(score, axis=-1)  # (B,)
+    return cand[best]
+
+  dwells = jnp.asarray(dwell_grid_seconds, jnp.float32)  # (D,)
+  p_any = 1.0 - jnp.exp(
+      -total[..., None] * dwells[None, None, :]
+  )  # (B, K, D)
+  expected_progress = (
+      jnp.sum(frac * value[:, None, :], axis=-1)[..., None] * p_any
+  )  # (B, K, D)
+  rate_score = expected_progress / (
+      dwells[None, None, :] + image_duration_seconds
+  )  # angstroms per simulated second
+  flat = rate_score.reshape(batch, -1)
+  best = jnp.argmax(flat, axis=-1)
+  best_k, best_d = best // dwells.shape[0], best % dwells.shape[0]
+  span = jnp.maximum(dwells[-1] - dwells[0], 1e-9)
+  dwell_frac = (dwells[best_d] - dwells[0]) / span
+  return jnp.concatenate([cand[best_k], dwell_frac[:, None]], axis=-1)
 
 
 @dataclasses.dataclass
@@ -168,11 +201,23 @@ class PlannerAgent(agent_lib.Agent):
   lookahead_discount: float = 0.0
   num_radii: int = 10
   num_angles: int = 64
+  # For variable-dwell adapters: set to the adapter's exact
+  # (min_dwell_seconds, max_dwell_seconds) range; the planner scores a
+  # grid over it and emits the 3rd action dim as the matching fraction.
+  dwell_range_seconds: Optional[tuple] = None
+  num_dwells: int = 8
+  image_duration_seconds: float = 2.0
 
   def __post_init__(self):
     self._candidates = make_candidate_offsets(
         num_radii=self.num_radii, num_angles=self.num_angles
     )
+    self._dwell_grid = None
+    if self.dwell_range_seconds is not None:
+      lo, hi = self.dwell_range_seconds
+      self._dwell_grid = np.linspace(
+          lo, hi, self.num_dwells, dtype=np.float32
+      )
     self._policy = jax.jit(
         lambda obs: planner_policy(
             None,
@@ -181,6 +226,8 @@ class PlannerAgent(agent_lib.Agent):
             dwell_seconds=self.dwell_seconds,
             candidates=self._candidates,
             lookahead_discount=self.lookahead_discount,
+            dwell_grid_seconds=self._dwell_grid,
+            image_duration_seconds=self.image_duration_seconds,
         )
     )
 
@@ -202,4 +249,6 @@ class PlannerAgent(agent_lib.Agent):
         dwell_seconds=self.dwell_seconds,
         candidates=self._candidates,
         lookahead_discount=self.lookahead_discount,
+        dwell_grid_seconds=self._dwell_grid,
+        image_duration_seconds=self.image_duration_seconds,
     )

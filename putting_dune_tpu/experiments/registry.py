@@ -75,10 +75,19 @@ def _get_planner_agent(
   from putting_dune_tpu.agents import planner as planner_lib
 
   adapter = adapters_and_goal.action_adapter
+  dwell_range = None
+  if adapter.max_dwell_seconds > adapter.min_dwell_seconds:
+    # Variable-dwell adapter: the planner optimizes the dwell too, over
+    # the adapter's exact range (so the emitted fraction maps back).
+    dwell_range = (
+        float(adapter.min_dwell_seconds),
+        float(adapter.max_dwell_seconds),
+    )
   return planner_lib.PlannerAgent(
       rate_fn=rate_fn if rate_fn is not None else rates_lib.prior_rates,
       dwell_seconds=float(adapter.min_dwell_seconds),
       lookahead_discount=lookahead_discount,
+      dwell_range_seconds=dwell_range,
   )
 
 
@@ -465,6 +474,20 @@ _EVAL_EXPERIMENTS = {
         get_agent=_get_learned_planner_agent,
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
         get_simulator_config=_get_aligned_prior_rates_config,
+    ),
+    # Variable-dwell planning: the planner also picks the dwell time each
+    # step, maximizing expected progress PER SIMULATED SECOND (the clock
+    # the terminal reward discounts), emitting the 3rd action dim.
+    'planner_prior_rates_variable_time': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent, rate_fn=rates_lib.prior_rates
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingMaterialFrame(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=2 * BOND,
+        ),
+        get_simulator_config=_get_human_prior_rates_config,
     ),
     'greedy_aligned_prior_rates': experiments.EvalExperiment(
         get_agent=functools.partial(

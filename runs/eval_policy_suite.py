@@ -25,6 +25,12 @@ EXPERIMENTS = (
     # reports FAILED without stopping the sweep.
     'multi_dopant_2_ppo',
     'multi_dopant_3_ppo',
+    # Rate-aware planner + greedy baselines under each rate law.
+    'planner_simple_rates',
+    'planner_prior_rates',
+    'greedy_prior_rates',
+    'planner_learned_rates',
+    'greedy_aligned_prior_rates',
 )
 
 

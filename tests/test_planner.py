@@ -135,6 +135,48 @@ def test_planner_reaches_goals_end_to_end():
   assert actions < 20.0
 
 
+def test_variable_dwell_shape_and_bounds():
+  obs, _ = _canonical_observation(np.deg2rad(90.0))
+  grid = np.linspace(1.5, 20.0, 8, dtype=np.float32)
+  action = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+  )
+  assert action.shape == (1, 3)
+  assert 0.0 <= float(action[0, 2]) <= 1.0
+
+
+def test_variable_dwell_tradeoff():
+  """High rates saturate P(transition) quickly -> short dwell maximizes
+  progress/second; near-zero rates make P ~ R*t -> the longest dwell
+  wins (t/(t+image) is increasing)."""
+  obs, _ = _canonical_observation(np.deg2rad(90.0))
+  grid = np.linspace(1.5, 20.0, 8, dtype=np.float32)
+
+  def weak_rates(si, nbr, beam):
+    return 1e-3 * rates_lib.simple_canonical_rates(si, nbr, beam)
+
+  strong = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+  )
+  weak = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=weak_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+  )
+  assert float(strong[0, 2]) < 0.2
+  assert float(weak[0, 2]) > 0.8
+
+
 def test_planner_agent_host_step():
   """Host dm_env-style step returns a (2,) material-frame action."""
   import dm_env
