@@ -39,6 +39,18 @@ def test_registry_names_match_reference():
     assert name in eval_names, name
 
 
+def test_all_eval_experiments_wire_up():
+  """Every registered eval experiment's adapters, goal, and simulator
+  config instantiate (catches registry wiring typos without running
+  episodes; checkpoint loads are covered by the zoo tests)."""
+  for name in registry.eval_experiment_names():
+    experiment = registry.create_eval_experiment(name)
+    adapters_and_goal = experiment.get_adapters_and_goal()
+    assert adapters_and_goal.action_adapter.spec() is not None, name
+    sim = experiment.get_simulator_config()
+    assert callable(sim.rate_fn), name
+
+
 def test_register_eval_experiment():
   experiment = registry.create_eval_experiment('relative_random_simple')
   registry.register_eval_experiment('custom_test_exp', experiment)
