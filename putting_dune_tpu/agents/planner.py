@@ -191,6 +191,100 @@ def planner_policy(
   return jnp.concatenate([cand[best_k], dwell_frac[:, None]], axis=-1)
 
 
+def multi_dopant_planner_policy(
+    key: Optional[jax.Array],
+    observation: jnp.ndarray,
+    *,
+    rate_fn: rates_lib.RateFunction,
+    num_dopants: int,
+    dwell_seconds: float,
+    max_distance_angstroms: float,
+    candidates: np.ndarray,
+) -> jnp.ndarray:
+  """Planner for the D-dopant env (env/multi_dopant.py, 'relative' actions
+  + 'vector_neighbors' observations).
+
+  The env steers ONE beam anchored at the first unlatched dopant; this
+  policy scores candidate beam offsets around that anchor by expected
+  progress of the anchor toward ITS goal — the same first-transition law
+  as the single-dopant planner (other dopants' rates are negligible at
+  beam offsets within a couple of bonds of the anchor, and latched goals
+  stay latched by construction). Zero training required: this solves the
+  multi-dopant task the PPO policies had to learn.
+
+  Args:
+    key: unused.
+    observation: (B, D*4 + 6) — per-dopant [x, y, goal_dx, goal_dy] plus
+      the anchor's 3 neighbor deltas.
+    rate_fn: the env's rate function (planning model).
+    num_dopants: D.
+    dwell_seconds: the env's fixed dwell.
+    max_distance_angstroms: the env's action scale; actions are emitted
+      in units of it (clipped to [-1, 1] by the env).
+    candidates: (K, 2) candidate beam offsets, angstroms (radii should
+      not exceed max_distance_angstroms or the env will clip them).
+
+  Returns:
+    (B, 2) actions in [-1, 1] (units of max_distance_angstroms).
+  """
+  del key
+  batch = observation.shape[0]
+  d = num_dopants
+  per = observation[:, : d * 4].reshape(batch, d, 4)
+  nbr_deltas = observation[:, d * 4 :].reshape(batch, 3, 2)
+
+  # Anchor = first dopant with a live (nonzero) goal delta — latched
+  # dopants read zero delta (multi_dopant._observation), and the env picks
+  # the first unlatched one as the action anchor.
+  live = jnp.linalg.norm(per[..., 2:4], axis=-1) > 1e-6  # (B, D)
+  pick = jnp.argmax(live, axis=-1)  # (B,)
+  anchor = jnp.take_along_axis(per, pick[:, None, None], axis=1)[:, 0]
+  si = anchor[:, 0:2]
+  goal_delta = anchor[:, 2:4]
+
+  # Reuse the single-dopant scoring on the anchor's geometry.
+  single_obs = jnp.concatenate(
+      [si, nbr_deltas.reshape(batch, 6), goal_delta], axis=-1
+  )
+  action_angstroms = planner_policy(
+      None,
+      single_obs,
+      rate_fn=rate_fn,
+      dwell_seconds=dwell_seconds,
+      candidates=candidates,
+  )
+  return action_angstroms / max_distance_angstroms
+
+
+@dataclasses.dataclass
+class MultiDopantPlannerAgent:
+  """Registry agent for MultiDopantExperiment: exposes .policy() like
+  eval_agent.EvalAgent (eval.py _eval_multi_dopant)."""
+
+  rate_fn: rates_lib.RateFunction
+  num_dopants: int
+  dwell_seconds: float = 5.0
+  max_distance_angstroms: float = 2.84
+  num_radii: int = 10
+  num_angles: int = 64
+
+  def policy(self):
+    candidates = make_candidate_offsets(
+        num_radii=self.num_radii,
+        num_angles=self.num_angles,
+        max_radius=self.max_distance_angstroms,
+    )
+    return lambda key, obs: multi_dopant_planner_policy(
+        key,
+        obs,
+        rate_fn=self.rate_fn,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=self.max_distance_angstroms,
+        candidates=candidates,
+    )
+
+
 @dataclasses.dataclass
 class PlannerAgent(agent_lib.Agent):
   """Host dm_env wrapper over planner_policy (material-frame features +

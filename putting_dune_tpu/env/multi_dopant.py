@@ -108,6 +108,10 @@ class MultiDopantEnv(struct.PyTreeNode):
   # {'image' (B, S, S, 1) rendered STEM frame with D silicon dopants,
   #  'goal_delta_angstroms' (B, D*2)} — the D-dopant counterpart of the
   # single-dopant ImageFeatures (latched dopants read zero delta).
+  # 'vector_neighbors': the vector observation plus the ANCHOR dopant's
+  # (first unlatched — the one 'relative' actions address) 3 neighbor
+  # deltas, (B, D*4 + 6): the geometry a model-based planner needs,
+  # mirroring the single-dopant material-frame features.
   observation_mode: str = struct.field(pytree_node=False, default='vector')
   image_size: int = struct.field(pytree_node=False, default=128)
   window_capacity: int = struct.field(pytree_node=False, default=512)
@@ -116,6 +120,8 @@ class MultiDopantEnv(struct.PyTreeNode):
   # ---------------------------------------------------------------- specs
 
   def observation_size(self) -> int:
+    if self.observation_mode == 'vector_neighbors':
+      return self.num_dopants * 4 + 6
     return self.num_dopants * 4
 
   def action_spec(self):
@@ -147,7 +153,9 @@ class MultiDopantEnv(struct.PyTreeNode):
       batch = delta.shape[0]
       per = delta.reshape(batch, self.num_dopants, 2)
       return jnp.sum(jnp.linalg.norm(per, axis=-1), axis=-1)
-    per = obs.reshape(obs.shape[0], self.num_dopants, 4)
+    per = obs[:, : self.num_dopants * 4].reshape(
+        obs.shape[0], self.num_dopants, 4
+    )
     return jnp.sum(jnp.linalg.norm(per[..., 2:4], axis=-1), axis=-1)
 
   # ------------------------------------------------------------- plumbing
@@ -229,9 +237,25 @@ class MultiDopantEnv(struct.PyTreeNode):
           'image': image[..., None],
           'goal_delta_angstroms': delta.reshape(self.batch_size, -1),
       }
-    return jnp.concatenate([si, delta], axis=-1).reshape(
+    vector = jnp.concatenate([si, delta], axis=-1).reshape(
         self.batch_size, -1
     )
+    if self.observation_mode == 'vector_neighbors':
+      # Anchor = first unlatched dopant, matching step()'s 'relative'
+      # action anchor exactly.
+      b = self.batch_size
+      pick_d = jnp.argmax(jnp.logical_not(state.latched), axis=-1)  # (B,)
+      anchor_site = state.si_indices[jnp.arange(b), pick_d]  # (B,)
+      nbr_idx = self.lattice.neighbors[anchor_site]  # (B, 3)
+      nbr_pos = lattice_lib.site_position(
+          self.lattice, nbr_idx, state.offset, state.theta
+      )  # (B, 3, 2)
+      anchor_pos = si[jnp.arange(b), pick_d]  # (B, 2)
+      nbr_deltas = nbr_pos - anchor_pos[:, None, :]
+      vector = jnp.concatenate(
+          [vector, nbr_deltas.reshape(b, 6)], axis=-1
+      )
+    return vector
 
   # ---------------------------------------------------------------- reset
 

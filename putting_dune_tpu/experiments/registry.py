@@ -550,6 +550,7 @@ def _make_multi_dopant_env(
     dwell_seconds: float = 5.0,
     grid_columns: int = 50,
     step_limit: int = 600,
+    observation_mode: str = 'vector',
 ):
   """Env factory matching the shipped multi_dopant_2 training settings
   (runs/train_multidopant.py: lattice 50, simple rates, 5 s dwell,
@@ -564,7 +565,28 @@ def _make_multi_dopant_env(
       num_dopants=num_dopants,
       dwell_seconds=dwell_seconds,
       step_limit=step_limit,
+      observation_mode=observation_mode,
   )
+
+
+@dataclasses.dataclass(frozen=True)
+class _MultiDopantPlannerFactory:
+  """get_agent for planner-driven multi-dopant experiments (needs the
+  'vector_neighbors' observation mode so the anchor geometry is visible)."""
+
+  num_dopants: int
+  dwell_seconds: float = 5.0
+
+  def __call__(self, rng, adapters_and_goal):
+    del rng, adapters_and_goal
+    from putting_dune_tpu.agents import planner as planner_lib
+
+    return planner_lib.MultiDopantPlannerAgent(
+        rate_fn=rates_lib.simple_canonical_rates,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=2.0 * BOND,
+    )
 
 
 _MULTI_DOPANT_EXPERIMENTS = {
@@ -584,6 +606,26 @@ _MULTI_DOPANT_EXPERIMENTS = {
     'multi_dopant_3_ppo': MultiDopantExperiment(
         make_env=functools.partial(_make_multi_dopant_env, num_dopants=3),
         get_agent=PolicyCheckpointAgent('multi_dopant_3'),
+        num_dopants=3,
+    ),
+    # Rate-aware planner on the D-dopant env — zero training required
+    # (agents/planner.py multi_dopant_planner_policy).
+    'multi_dopant_2_planner': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=2,
+            observation_mode='vector_neighbors',
+        ),
+        get_agent=_MultiDopantPlannerFactory(num_dopants=2),
+        num_dopants=2,
+    ),
+    'multi_dopant_3_planner': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=3,
+            observation_mode='vector_neighbors',
+        ),
+        get_agent=_MultiDopantPlannerFactory(num_dopants=3),
         num_dopants=3,
     ),
 }

@@ -177,6 +177,43 @@ def test_variable_dwell_tradeoff():
   assert float(weak[0, 2]) > 0.8
 
 
+def test_multi_dopant_vector_neighbors_observation():
+  """The 'vector_neighbors' mode appends the anchor dopant's 3 neighbor
+  deltas (bond-length vectors) to the vector observation."""
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu.env import multi_dopant
+
+  env = multi_dopant.MultiDopantEnv(
+      lattice=lattice_lib.make_lattice(20),
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=4,
+      num_dopants=2,
+      observation_mode='vector_neighbors',
+  )
+  _, ts = env.reset(jax.random.PRNGKey(0))
+  assert ts.observation.shape == (4, 2 * 4 + 6)
+  nbr = np.asarray(ts.observation[:, 8:]).reshape(4, 3, 2)
+  np.testing.assert_allclose(
+      np.linalg.norm(nbr, axis=-1), BOND, rtol=2e-2
+  )
+
+
+def test_multi_dopant_planner_reaches_goals():
+  """Registry-driven: the planner solves the 2-dopant task with zero
+  training (the PPO checkpoint needed millions of env steps)."""
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu.experiments import registry
+
+  experiment = registry.create_multi_dopant_experiment(
+      'multi_dopant_2_planner'
+  )
+  env = experiment.make_env(8)
+  agent = experiment.get_agent(None, None)
+  results = eval_lib.evaluate_batched(env, agent.policy(), list(range(8)))
+  reached = sum(r.reached_goal for r in results)
+  assert reached >= 7
+
+
 def test_planner_agent_host_step():
   """Host dm_env-style step returns a (2,) material-frame action."""
   import dm_env
