@@ -25,6 +25,8 @@ EXPERIMENTS = (
     # reports FAILED without stopping the sweep.
     'multi_dopant_2_ppo',
     'multi_dopant_3_ppo',
+    'multi_dopant_2_planner',
+    'multi_dopant_3_planner',
     # Rate-aware planner + greedy baselines under each rate law.
     'planner_simple_rates',
     'planner_prior_rates',
