@@ -311,6 +311,14 @@ _MICROSCOPE_EXPERIMENTS = {
         ),
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
     ),
+    # Native addition: the rate-aware planner as a microscope experiment —
+    # on real hardware the planning model is the LEARNED rate predictor
+    # (the reference's analogue is a greedy agent with an offline
+    # grid-searched argmax of the learned transition function).
+    'planner_learned_rates': experiments.MicroscopeExperiment(
+        get_agent=_get_learned_planner_agent,
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+    ),
     'ppo_simple_images_tf': experiments.MicroscopeExperiment(
         get_agent=PolicyCheckpointAgent('ppo_simple_images_tf'),
         get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(),

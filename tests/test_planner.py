@@ -214,6 +214,55 @@ def test_multi_dopant_planner_reaches_goals():
   assert reached >= 7
 
 
+def test_planner_drives_microscope_agent_loop():
+  """The planner (with the shipped learned rate model) works in the
+  inverted-control real-microscope loop via the registry experiment."""
+  import datetime as dt
+  import os
+
+  import pytest
+
+  from putting_dune_tpu import microscope_agent as ma
+  from putting_dune_tpu import microscope_data as md
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'rate_predictor'
+  )
+  if not os.path.isdir(weights):
+    pytest.skip('rate_predictor weights not shipped')
+
+  experiment = registry.create_microscope_experiment('planner_learned_rates')
+  rng = np.random.default_rng(0)
+  agent = ma.MicroscopeAgent(rng, experiment)
+
+  # A minimal single-silicon observation: silicon at the center of a
+  # 20 A FOV with its 3 graphene neighbors.
+  angles = np.deg2rad([90.0, 210.0, 330.0])
+  positions_material = np.concatenate(
+      [
+          np.zeros((1, 2)),
+          BOND * np.stack([np.cos(angles), np.sin(angles)], -1),
+      ],
+      axis=0,
+  )
+  fov = md.MicroscopeFieldOfView(
+      lower_left=np.array([-10.0, -10.0]), upper_right=np.array([10.0, 10.0])
+  )
+  grid = md.AtomicGrid(
+      (positions_material - (-10.0)) / 20.0,
+      np.array([14, 6, 6, 6]),
+  )
+  obs = md.MicroscopeObservation(
+      grid=grid, fov=fov, controls=(),
+      elapsed_time=dt.timedelta(seconds=2.0),
+  )
+  agent.reset(rng, obs)
+  controls = agent.step(obs)
+  assert len(controls) == 1
+  assert ((controls[0].position >= 0) & (controls[0].position <= 1)).all()
+
+
 def test_planner_agent_host_step():
   """Host dm_env-style step returns a (2,) material-frame action."""
   import dm_env
