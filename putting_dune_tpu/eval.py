@@ -139,10 +139,14 @@ def _policy_for_agent(agent, env):
   from putting_dune_tpu.agents import agent_lib
   from putting_dune_tpu.agents import eval_agent as eval_agent_lib
   from putting_dune_tpu.agents import planner as planner_lib
+  from putting_dune_tpu.agents import vision_planner as vision_planner_lib
 
   if isinstance(agent, eval_agent_lib.EvalAgent):
     return agent.policy()
-  if isinstance(agent, planner_lib.PlannerAgent):
+  if isinstance(
+      agent,
+      (planner_lib.PlannerAgent, vision_planner_lib.VisionPlannerAgent),
+  ):
     return agent.policy()
   if isinstance(agent, agent_lib.GreedyAgent):
     return functools.partial(

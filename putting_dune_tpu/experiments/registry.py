@@ -91,6 +91,21 @@ def _get_planner_agent(
   )
 
 
+def _get_vision_planner_agent(rng, adapters_and_goal):
+  """Vision planner: shipped detector -> lattice geometry -> planner
+  (agents/vision_planner.py) — the full pixels-to-control loop with zero
+  policy learning."""
+  del rng
+  from putting_dune_tpu.agents import vision_planner as vp
+
+  adapter = adapters_and_goal.action_adapter
+  return vp.VisionPlannerAgent(
+      rate_fn=rates_lib.simple_canonical_rates,
+      dwell_seconds=float(adapter.min_dwell_seconds),
+      max_distance_angstroms=float(adapter.max_distance_angstroms),
+  )
+
+
 def _get_learned_planner_agent(rng, adapters_and_goal):
   """Planner over the SHIPPED distilled neural rate model: the full
   model-based loop (simulate -> learn rates -> plan with the learned
@@ -201,6 +216,7 @@ class _SingleSiliconGoalReachingFromPixels:
   min_dwell_seconds: float = 1.5
   max_dwell_seconds: float = 1.5
   max_distance_angstroms: float = BOND
+  image_size: int = 128
 
   def __call__(self) -> experiments.AdaptersAndGoal:
     return experiments.AdaptersAndGoal(
@@ -209,7 +225,9 @@ class _SingleSiliconGoalReachingFromPixels:
             max_dwell_seconds=self.max_dwell_seconds,
             max_distance_angstroms=self.max_distance_angstroms,
         ),
-        feature_constructor=features_lib.ImageFeatures(),
+        feature_constructor=features_lib.ImageFeatures(
+            image_size=self.image_size
+        ),
     )
 
 
@@ -503,6 +521,21 @@ _EVAL_EXPERIMENTS = {
         ),
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
         get_simulator_config=_get_aligned_prior_rates_config,
+    ),
+    # Full pixels-to-control loop with zero policy learning: shipped
+    # UNet detector -> jittable lattice-geometry recovery -> rate-aware
+    # planner. Image features at 256^2, the detector's training size
+    # (dwell 5 s like the other planner experiments: fewer, more
+    # decisive actions).
+    'vision_planner_simple_rates': experiments.EvalExperiment(
+        get_agent=_get_vision_planner_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+            min_dwell_seconds=5.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+            image_size=256,
+        ),
+        get_simulator_config=_get_simple_rates_config,
     ),
 }
 
