@@ -59,6 +59,32 @@ def test_estimate_lattice_frame_recovers_geometry(theta0, bond_px):
   assert diff < np.deg2rad(2.0), f'theta error {np.rad2deg(diff):.2f} deg'
 
 
+def test_estimate_lattice_frame_with_map_noise():
+  """Geometry recovery degrades gracefully under map corruption: uniform
+  probability noise plus spurious blobs."""
+  rng = np.random.default_rng(3)
+  theta0, bond_px = 0.7, 9.0
+  si_xy = (60.0, 66.0)
+  p_si, p_c = _synthetic_maps(si_xy, bond_px, theta0)
+  xs = np.arange(S) + 0.5
+  x = np.tile(xs[None, :], (S, 1))
+  y = np.tile((S - xs)[:, None], (1, S))
+  noisy_si = np.clip(p_si + 0.05 * rng.random((S, S)), 0, 1)
+  noisy_c = p_c + 0.1 * rng.random((S, S))
+  for _ in range(6):  # false-positive carbon blobs
+    noisy_c += 0.5 * _gaussian_blob(
+        x, y, rng.uniform(10, 118), rng.uniform(10, 118)
+    )
+  si_hat, bond_hat, theta_hat = vp.estimate_lattice_frame(
+      jnp.asarray(noisy_si[None]), jnp.asarray(np.clip(noisy_c, 0, 1)[None])
+  )
+  np.testing.assert_allclose(np.asarray(si_hat[0]), si_xy, atol=2.0)
+  assert abs(float(bond_hat[0]) - bond_px) < 1.5
+  diff = (float(theta_hat[0]) - theta0) % (2 * np.pi / 3)
+  diff = min(diff, 2 * np.pi / 3 - diff)
+  assert diff < np.deg2rad(8.0)
+
+
 def test_vision_planner_policy_targets_goalward_neighbor():
   """With ideal maps the policy's beam lands by the goal-ward neighbor."""
   theta0, bond_px = 0.5, 10.0
