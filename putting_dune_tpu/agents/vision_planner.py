@@ -105,10 +105,18 @@ def estimate_lattice_frame(
       pc_flat * frac.reshape(b, -1),
   )
   valid = (centers >= min_bond_px) & (centers <= max_bond_px)
+  # Mass per unit arc length, not raw mass: shell atom counts grow with
+  # radius (3 at bond, 6 at sqrt(3)*bond, merging shells beyond), so at
+  # small bond_px the raw first-shell mass falls below any fixed
+  # significance fraction of the histogram max and the peak-finder locks
+  # onto a farther shell — which rotates the third-harmonic orientation
+  # by ~60 deg. Dividing by r makes shell prominence scale-invariant
+  # (and suppresses partially-out-of-image large-r bins for free).
+  hist = hist / jnp.maximum(centers, 1.0)[None]
   hist = jnp.where(valid[None], hist, 0.0)
-  # FIRST significant local maximum, not the global one: the honeycomb's
-  # second shell holds 6 atoms to the first shell's 3, so the global
-  # radial-mass peak sits at sqrt(3)*bond.
+  # FIRST significant local maximum, not the global one: even per unit
+  # arc length the honeycomb's second shell (6 atoms at sqrt(3)*bond) is
+  # about as prominent as the first (3 at bond).
   prev = jnp.concatenate([hist[:, :1], hist[:, :-1]], axis=-1)
   nxt = jnp.concatenate([hist[:, 1:], hist[:, -1:]], axis=-1)
   is_max = (hist >= prev) & (hist >= nxt)

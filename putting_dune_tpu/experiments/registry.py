@@ -91,29 +91,33 @@ def _get_planner_agent(
   )
 
 
-def _get_vision_planner_agent(rng, adapters_and_goal):
+def _get_vision_planner_agent(rng, adapters_and_goal, rate_fn=None):
   """Vision planner: shipped detector -> lattice geometry -> planner
   (agents/vision_planner.py) — the full pixels-to-control loop with zero
-  policy learning."""
+  policy learning. rate_fn='learned' plans with the SHIPPED distilled
+  neural rate model, composing both shipped learned artifacts."""
   del rng
   from putting_dune_tpu.agents import vision_planner as vp
 
+  if rate_fn == 'learned':
+    rate_fn = _load_shipped_rate_fn()
   adapter = adapters_and_goal.action_adapter
   return vp.VisionPlannerAgent(
-      rate_fn=rates_lib.simple_canonical_rates,
+      rate_fn=(
+          rate_fn if rate_fn is not None else rates_lib.simple_canonical_rates
+      ),
       dwell_seconds=float(adapter.min_dwell_seconds),
       max_distance_angstroms=float(adapter.max_distance_angstroms),
   )
 
 
-def _get_learned_planner_agent(rng, adapters_and_goal):
-  """Planner over the SHIPPED distilled neural rate model: the full
-  model-based loop (simulate -> learn rates -> plan with the learned
-  model). Raises if the rate_predictor artifact is absent."""
-  del rng
+def _load_shipped_rate_fn():
+  """Loads the SHIPPED distilled neural rate model as a RateFunction.
+
+  Raises if the rate_predictor artifact is absent.
+  """
   import jax
 
-  from putting_dune_tpu.agents import planner as planner_lib
   from putting_dune_tpu.rate_learning import config as rl_config
   from putting_dune_tpu.rate_learning import predictor as predictor_lib
 
@@ -130,9 +134,19 @@ def _get_learned_planner_agent(rng, adapters_and_goal):
       config=rl_config.RateLearningConfig(beam_units='angstroms'),
   )
   predictor.load(workdir)
+  return predictor.as_rate_function()
+
+
+def _get_learned_planner_agent(rng, adapters_and_goal):
+  """Planner over the SHIPPED distilled neural rate model: the full
+  model-based loop (simulate -> learn rates -> plan with the learned
+  model)."""
+  del rng
+  from putting_dune_tpu.agents import planner as planner_lib
+
   adapter = adapters_and_goal.action_adapter
   return planner_lib.PlannerAgent(
-      rate_fn=predictor.as_rate_function(),
+      rate_fn=_load_shipped_rate_fn(),
       dwell_seconds=float(adapter.min_dwell_seconds),
   )
 
@@ -536,6 +550,37 @@ _EVAL_EXPERIMENTS = {
             image_size=256,
         ),
         get_simulator_config=_get_simple_rates_config,
+    ),
+    # Vision planner under the sharp aligned-prior law with the ANALYTIC
+    # model: isolates perception error from learned-model error in the
+    # vision_planner_learned_rates composition below.
+    'vision_planner_prior_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_vision_planner_agent, rate_fn=rates_lib.prior_rates_aligned
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+            min_dwell_seconds=5.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+            image_size=256,
+        ),
+        get_simulator_config=_get_aligned_prior_rates_config,
+    ),
+    # Both shipped LEARNED artifacts composed into one zero-training
+    # controller: UNet perception + distilled neural rate model as the
+    # planning model, against the aligned-prior simulator the rate model
+    # was trained on (the full perceive -> model -> plan loop).
+    'vision_planner_learned_rates': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_vision_planner_agent, rate_fn='learned'
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+            min_dwell_seconds=5.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+            image_size=256,
+        ),
+        get_simulator_config=_get_aligned_prior_rates_config,
     ),
 }
 

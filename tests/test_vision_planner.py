@@ -59,6 +59,53 @@ def test_estimate_lattice_frame_recovers_geometry(theta0, bond_px):
   assert diff < np.deg2rad(2.0), f'theta error {np.rad2deg(diff):.2f} deg'
 
 
+def _full_honeycomb_maps(si_xy, bond_px, theta0):
+  """Si + carbon maps for a FULL honeycomb sheet covering the image (all
+  shells, like a real frame), Si on an A-sublattice site whose neighbors
+  sit at theta0 + 120k deg."""
+  xs = np.arange(S) + 0.5
+  x = np.tile(xs[None, :], (S, 1))
+  y = np.tile((S - xs)[:, None], (1, S))
+  c, s = np.cos(theta0), np.sin(theta0)
+  rot = np.array([[c, -s], [s, c]])
+  a1 = rot @ (bond_px * np.array([1.5, np.sqrt(3) / 2]))
+  a2 = rot @ (bond_px * np.array([1.5, -np.sqrt(3) / 2]))
+  d = rot @ (bond_px * np.array([1.0, 0.0]))
+  p_c = np.zeros((S, S))
+  n = int(S / bond_px) + 2
+  for n1 in range(-n, n + 1):
+    for n2 in range(-n, n + 1):
+      base = np.asarray(si_xy) + n1 * a1 + n2 * a2
+      for site in (base, base + d):
+        if np.allclose(site, si_xy):
+          continue
+        if -5 < site[0] < S + 5 and -5 < site[1] < S + 5:
+          p_c += _gaussian_blob(x, y, site[0], site[1])
+  p_si = _gaussian_blob(x, y, si_xy[0], si_xy[1])
+  return p_si, np.clip(p_c, 0.0, 1.0)
+
+
+@pytest.mark.parametrize('bond_px', [6.0, 8.5, 14.0])
+def test_estimate_lattice_frame_full_sheet_small_bond(bond_px):
+  """Regression: on a FULL honeycomb sheet at small bond_px (wide FOV),
+  raw radial mass grows with shell radius (3 atoms at bond, 6 at
+  sqrt(3)*bond, merging shells beyond), which used to drop the first
+  shell below the peak-significance cut and lock theta0 onto a farther
+  shell (~60 deg error). Circumference-normalized histogram keeps shell
+  prominence scale-invariant."""
+  theta0 = 0.45
+  si_xy = (63.0, 67.0)
+  p_si, p_c = _full_honeycomb_maps(si_xy, bond_px, theta0)
+  si_hat, bond_hat, theta_hat = vp.estimate_lattice_frame(
+      jnp.asarray(p_si[None]), jnp.asarray(p_c[None])
+  )
+  np.testing.assert_allclose(np.asarray(si_hat[0]), si_xy, atol=1.0)
+  assert abs(float(bond_hat[0]) - bond_px) < 1.0
+  diff = (float(theta_hat[0]) - theta0) % (2 * np.pi / 3)
+  diff = min(diff, 2 * np.pi / 3 - diff)
+  assert diff < np.deg2rad(3.0), f'theta error {np.rad2deg(diff):.2f} deg'
+
+
 def test_estimate_lattice_frame_with_map_noise():
   """Geometry recovery degrades gracefully under map corruption: uniform
   probability noise plus spurious blobs."""
@@ -149,3 +196,38 @@ def test_vision_planner_agent_with_shipped_detector():
     assert action.shape == (2, 2)
     assert np.all(np.isfinite(np.asarray(action)))
     state, ts = env.step(state, jnp.asarray(action), jax.random.PRNGKey(10 + i))
+
+
+def test_vision_planner_learned_rates_agent():
+  """Both shipped learned artifacts (UNet detector + distilled rate
+  model) compose into one policy: the vision_planner_learned_rates
+  registry experiment produces finite, sane actions on a real frame."""
+  import os
+
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  base = os.path.join(os.path.dirname(registry.__file__), 'model_weights')
+  if not os.path.isdir(os.path.join(base, 'atom_detector')):
+    pytest.skip('atom_detector weights not shipped')
+  if not os.path.isdir(os.path.join(base, 'rate_predictor')):
+    pytest.skip('rate_predictor weights not shipped')
+
+  experiment = registry.create_eval_experiment('vision_planner_learned_rates')
+  agent = experiment.get_agent(
+      np.random.default_rng(0), experiment.get_adapters_and_goal()
+  )
+  env = run_helpers.create_batched_env(
+      experiment.get_adapters_and_goal,
+      experiment.get_simulator_config,
+      batch_size=2,
+  )
+  policy = agent.policy()
+  _, ts = env.reset(jax.random.PRNGKey(0))
+  action = policy(jax.random.PRNGKey(1), ts.observation)
+  assert action.shape == (2, 2)
+  action = np.asarray(action)
+  assert np.all(np.isfinite(action))
+  # Actions are in units of max_distance_angstroms and the planner
+  # clamps candidates to the adapter's reach.
+  assert np.all(np.abs(action) <= 1.0 + 1e-6)
