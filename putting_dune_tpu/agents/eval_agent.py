@@ -27,17 +27,24 @@ from putting_dune_tpu.agents import agent_lib
 
 
 class MLPPolicy(nn.Module):
-  """Vector-observation policy head (tanh tower, matching the PPO actor)."""
+  """Vector-observation policy head (tanh tower, matching the PPO actor).
+
+  output_scale widens the tanh range for adapters that consume raw
+  angstrom deltas (RelativeToSiliconMaterialFrameActionAdapter) instead
+  of [-1, 1] fractions; 1.0 (the default) is the microscope-frame
+  convention every pre-existing checkpoint was saved with.
+  """
 
   hidden: tuple[int, ...] = (256, 256)
   action_dim: int = 2
+  output_scale: float = 1.0
 
   @nn.compact
   def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
     x = obs
     for width in self.hidden:
       x = nn.tanh(nn.Dense(width)(x))
-    return nn.tanh(nn.Dense(self.action_dim)(x))
+    return self.output_scale * nn.tanh(nn.Dense(self.action_dim)(x))
 
 
 class ConvPolicy(nn.Module):
@@ -143,6 +150,7 @@ class EvalAgent(agent_lib.Agent):
           'arch': {
               'hidden': list(self._module.hidden),
               'action_dim': self._module.action_dim,
+              'output_scale': self._module.output_scale,
           },
       }
     elif isinstance(self._module, ConvPolicy):
@@ -178,7 +186,9 @@ class EvalAgent(agent_lib.Agent):
     arch = meta['arch']
     if meta['kind'] == 'mlp':
       module = MLPPolicy(
-          hidden=tuple(arch['hidden']), action_dim=arch['action_dim']
+          hidden=tuple(arch['hidden']),
+          action_dim=arch['action_dim'],
+          output_scale=float(arch.get('output_scale', 1.0)),
       )
       template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))[
           'params'

@@ -529,6 +529,15 @@ _EVAL_EXPERIMENTS = {
         ),
         get_simulator_config=_get_human_prior_rates_config,
     ),
+    # The planner DISTILLED into a feed-forward MLP (agents/distill.py,
+    # DAgger): planner-level control at the reference's TF-eval-agent
+    # inference cost (one MLP apply per step, agents/tf_eval_agent.py:23-32).
+    # Checkpoint shipped by runs/distill_planner.py on a head-to-head win.
+    'planner_distilled_prior': experiments.EvalExperiment(
+        get_agent=PolicyCheckpointAgent('planner_distilled_prior'),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
     'greedy_aligned_prior_rates': experiments.EvalExperiment(
         get_agent=functools.partial(
             _get_greedy_agent, argmax=np.array([1.42, 0.0])
