@@ -62,6 +62,35 @@ class DistillConfig:
   lookahead_discount: float = 0.0
   num_radii: int = 10
   num_angles: int = 64
+  # Variable-dwell distillation: set to the adapter's exact
+  # (min_dwell_seconds, max_dwell_seconds) range to distill the
+  # dwell-optimizing planner; actions gain a 3rd dim (the dwell as a
+  # [0, 1] fraction, action_adapters._dwell_from_action). The student's
+  # tanh head covers it fine — MSE pulls the dim into [0, 1] and the
+  # adapter clips.
+  dwell_range_seconds: Optional[Tuple[float, float]] = None
+  num_dwells: int = 8
+  image_duration_seconds: float = 2.0
+
+  @property
+  def action_dim(self) -> int:
+    return 3 if self.dwell_range_seconds is not None else 2
+
+  @property
+  def head_output_scale(self):
+    """Per-dim tanh scales: angstrom deltas at output_scale; the dwell
+    fraction (variable-dwell mode) at 1 so MSE weights it fairly."""
+    if self.dwell_range_seconds is None:
+      return self.output_scale
+    return (self.output_scale, self.output_scale, 1.0)
+
+
+def student_module(config: DistillConfig) -> 'eval_agent.MLPPolicy':
+  return eval_agent.MLPPolicy(
+      hidden=config.hidden,
+      action_dim=config.action_dim,
+      output_scale=config.head_output_scale,
+  )
 
 
 def make_distill_fns(
@@ -76,12 +105,14 @@ def make_distill_fns(
   * batch samples and is filled in iteration order, so the compiled
   program is shape-stable across iterations.
   """
-  module = eval_agent.MLPPolicy(
-      hidden=config.hidden, action_dim=2, output_scale=config.output_scale
-  )
+  module = student_module(config)
   candidates = planner_lib.make_candidate_offsets(
       num_radii=config.num_radii, num_angles=config.num_angles
   )
+  dwell_grid = None
+  if config.dwell_range_seconds is not None:
+    lo, hi = config.dwell_range_seconds
+    dwell_grid = np.linspace(lo, hi, config.num_dwells, dtype=np.float32)
 
   def teacher(obs):
     return planner_lib.planner_policy(
@@ -91,6 +122,8 @@ def make_distill_fns(
         dwell_seconds=config.dwell_seconds,
         candidates=candidates,
         lookahead_discount=config.lookahead_discount,
+        dwell_grid_seconds=dwell_grid,
+        image_duration_seconds=config.image_duration_seconds,
     )
 
   batch = env.batch_size
@@ -106,7 +139,7 @@ def make_distill_fns(
     opt_state = optimizer.init(params)
     env_state, ts = env.reset(k_reset)
     buf_obs = jnp.zeros((capacity, obs_dim), jnp.float32)
-    buf_act = jnp.zeros((capacity, 2), jnp.float32)
+    buf_act = jnp.zeros((capacity, config.action_dim), jnp.float32)
     return {
         'params': params,
         'opt_state': opt_state,
@@ -142,7 +175,7 @@ def make_distill_fns(
         length=config.rollout_length,
     )
     new_obs = obs_seq.reshape(samples_per_iter, obs_dim)
-    new_act = act_seq.reshape(samples_per_iter, 2)
+    new_act = act_seq.reshape(samples_per_iter, config.action_dim)
     buf_obs = jax.lax.dynamic_update_slice(
         carry['buf_obs'], new_obs, (carry['filled'], 0)
     )
@@ -232,9 +265,7 @@ def train_and_save(
   """Distills and saves an EvalAgent checkpoint loadable by the registry
   (experiments/registry.py PolicyCheckpointAgent)."""
   params, _ = distill(env, rate_fn, config, seed=seed, progress=progress)
-  module = eval_agent.MLPPolicy(
-      hidden=config.hidden, action_dim=2, output_scale=config.output_scale
-  )
+  module = student_module(config)
   agent = eval_agent.EvalAgent(module, params)
   agent.save(workdir)
   return agent

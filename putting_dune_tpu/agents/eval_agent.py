@@ -32,19 +32,22 @@ class MLPPolicy(nn.Module):
   output_scale widens the tanh range for adapters that consume raw
   angstrom deltas (RelativeToSiliconMaterialFrameActionAdapter) instead
   of [-1, 1] fractions; 1.0 (the default) is the microscope-frame
-  convention every pre-existing checkpoint was saved with.
+  convention every pre-existing checkpoint was saved with. A per-dim
+  tuple supports mixed action semantics (e.g. angstrom deltas + a [0, 1]
+  dwell fraction for the variable-dwell adapters).
   """
 
   hidden: tuple[int, ...] = (256, 256)
   action_dim: int = 2
-  output_scale: float = 1.0
+  output_scale: float | tuple[float, ...] = 1.0
 
   @nn.compact
   def __call__(self, obs: jnp.ndarray) -> jnp.ndarray:
     x = obs
     for width in self.hidden:
       x = nn.tanh(nn.Dense(width)(x))
-    return self.output_scale * nn.tanh(nn.Dense(self.action_dim)(x))
+    scale = jnp.asarray(self.output_scale, jnp.float32)
+    return scale * nn.tanh(nn.Dense(self.action_dim)(x))
 
 
 class ConvPolicy(nn.Module):
@@ -150,7 +153,11 @@ class EvalAgent(agent_lib.Agent):
           'arch': {
               'hidden': list(self._module.hidden),
               'action_dim': self._module.action_dim,
-              'output_scale': self._module.output_scale,
+              'output_scale': (
+                  list(self._module.output_scale)
+                  if isinstance(self._module.output_scale, (tuple, list))
+                  else self._module.output_scale
+              ),
           },
       }
     elif isinstance(self._module, ConvPolicy):
@@ -185,10 +192,15 @@ class EvalAgent(agent_lib.Agent):
       meta = json.load(f)
     arch = meta['arch']
     if meta['kind'] == 'mlp':
+      raw_scale = arch.get('output_scale', 1.0)
       module = MLPPolicy(
           hidden=tuple(arch['hidden']),
           action_dim=arch['action_dim'],
-          output_scale=float(arch.get('output_scale', 1.0)),
+          output_scale=(
+              tuple(float(s) for s in raw_scale)
+              if isinstance(raw_scale, list)
+              else float(raw_scale)
+          ),
       )
       template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 10)))[
           'params'

@@ -538,6 +538,20 @@ _EVAL_EXPERIMENTS = {
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
         get_simulator_config=_get_human_prior_rates_config,
     ),
+    # Variable-dwell variant: the dwell-optimizing planner (best
+    # time-efficiency controller) distilled into the same MLP; 3rd
+    # action dim is the dwell fraction.
+    'planner_distilled_prior_variable_time': experiments.EvalExperiment(
+        get_agent=PolicyCheckpointAgent(
+            'planner_distilled_prior_variable_time'
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingMaterialFrame(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=2 * BOND,
+        ),
+        get_simulator_config=_get_human_prior_rates_config,
+    ),
     'greedy_aligned_prior_rates': experiments.EvalExperiment(
         get_agent=functools.partial(
             _get_greedy_agent, argmax=np.array([1.42, 0.0])

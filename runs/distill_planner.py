@@ -1,15 +1,20 @@
 """Distill the rate-aware planner into an MLP policy (gated ship).
 
-Trains agents/distill.py (DAgger) against the registry's
-planner_prior_rates conditions (material-frame adapter, dwell 5 s, human
-prior rate law — where the reference's GreedyAgent reaches only ~2% of
-goals), then evaluates the student head-to-head on a fixed 100-seed
-suite and ships to experiments/model_weights/planner_distilled_prior
-only if it clears the gate:
+Trains agents/distill.py (DAgger) against a registry planner experiment
+(the human-prior rate law, where the reference's GreedyAgent reaches only
+~2% of goals), then evaluates the student head-to-head on a fixed
+100-seed suite and ships only if it clears the gate:
 
   goal rate >= 0.95 AND actions-to-goal <= 1.5x the live planner's.
 
-Usage: python runs/distill_planner.py [num_iterations] [batch] [seed]
+Modes:
+  fixed    -> planner_prior_rates conditions (dwell 5 s, 2-dim actions);
+              ships experiments/model_weights/planner_distilled_prior.
+  variable -> planner_prior_rates_variable_time conditions (dwell in
+              [1.5, 20] s, 3-dim actions: the student also emits the
+              dwell fraction); ships ..._variable_time.
+
+Usage: python runs/distill_planner.py [mode] [num_iterations] [batch] [seed]
 """
 
 import os
@@ -25,13 +30,27 @@ from putting_dune_tpu.agents import distill
 from putting_dune_tpu.agents import eval_agent as eval_agent_lib
 from putting_dune_tpu.experiments import registry
 
-SHIPPED = 'putting_dune_tpu/experiments/model_weights/planner_distilled_prior'
-WORKDIR = 'runs/planner_distilled_prior_cand'
+WEIGHTS = 'putting_dune_tpu/experiments/model_weights'
 EVAL_SEEDS = list(range(100))
 
+MODES = {
+    'fixed': {
+        'experiment': 'planner_prior_rates',
+        'shipped': f'{WEIGHTS}/planner_distilled_prior',
+        'workdir': 'runs/planner_distilled_prior_cand',
+        'config': dict(),
+    },
+    'variable': {
+        'experiment': 'planner_prior_rates_variable_time',
+        'shipped': f'{WEIGHTS}/planner_distilled_prior_variable_time',
+        'workdir': 'runs/planner_distilled_prior_vt_cand',
+        'config': dict(dwell_range_seconds=(1.5, 20.0)),
+    },
+}
 
-def eval_experiment_with_agent(name: str, agent) -> tuple[float, float]:
-  """(goal_rate, actions_per_goal) on the fixed suite, registry-identical."""
+
+def eval_agent_on(name: str, agent) -> tuple[float, float, float]:
+  """(goal_rate, actions_per_goal, env_seconds) on the fixed suite."""
   exp = registry.create_eval_experiment(name)
   env = run_helpers.create_batched_env(
       exp.get_adapters_and_goal,
@@ -43,15 +62,18 @@ def eval_experiment_with_agent(name: str, agent) -> tuple[float, float]:
   return (
       float(agg.average_num_times_reached_goal),
       float(agg.average_num_actions_taken),
+      float(agg.average_environment_seconds_to_goal),
   )
 
 
 def main() -> None:
-  num_iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-  batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-  seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+  mode = sys.argv[1] if len(sys.argv) > 1 else 'fixed'
+  num_iterations = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+  batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+  seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+  spec = MODES[mode]
 
-  exp = registry.create_eval_experiment('planner_prior_rates')
+  exp = registry.create_eval_experiment(spec['experiment'])
   env = run_helpers.create_batched_env(
       exp.get_adapters_and_goal,
       exp.get_simulator_config,
@@ -62,47 +84,54 @@ def main() -> None:
       rollout_length=64,
       sgd_steps_per_iteration=384,
       minibatch_size=4096,
+      **spec['config'],
   )
 
   def progress(i, metrics):
     print(
-        f"distill iter {i + 1}/{num_iterations}: loss={metrics['loss']:.4f} "
-        f"beta={metrics['beta']:.3f}",
+        f"distill[{mode}] iter {i + 1}/{num_iterations}: "
+        f"loss={metrics['loss']:.4f} beta={metrics['beta']:.3f}",
         flush=True,
     )
 
   distill.train_and_save(
       env,
-      WORKDIR,
+      spec['workdir'],
       rates_lib.prior_rates,
       config=config,
       seed=seed,
       progress=progress,
   )
 
-  student = eval_agent_lib.EvalAgent.load(WORKDIR)
-  s_rate, s_actions = eval_experiment_with_agent(
-      'planner_prior_rates', student
-  )
-  # Teacher baseline on the same seeds for the gate and the record.
-  teacher_exp = registry.create_eval_experiment('planner_prior_rates')
-  teacher = teacher_exp.get_agent(None, teacher_exp.get_adapters_and_goal())
-  t_rate, t_actions = eval_experiment_with_agent(
-      'planner_prior_rates', teacher
-  )
+  student = eval_agent_lib.EvalAgent.load(spec['workdir'])
+  s_rate, s_actions, s_secs = eval_agent_on(spec['experiment'], student)
+  teacher = exp.get_agent(None, exp.get_adapters_and_goal())
+  t_rate, t_actions, t_secs = eval_agent_on(spec['experiment'], teacher)
   print(
-      f'head-to-head (100 seeds): teacher(planner) {t_rate:.2f} @ '
-      f'{t_actions:.1f} vs student(MLP) {s_rate:.2f} @ {s_actions:.1f}',
+      f'head-to-head [{mode}] (100 seeds): teacher(planner) {t_rate:.2f} @ '
+      f'{t_actions:.1f} actions / {t_secs:.1f} env-s vs student(MLP) '
+      f'{s_rate:.2f} @ {s_actions:.1f} / {s_secs:.1f}',
       flush=True,
   )
 
-  if s_rate >= 0.95 and s_actions <= 1.5 * t_actions:
-    if os.path.isdir(SHIPPED):
-      shutil.rmtree(SHIPPED)
-    shutil.copytree(WORKDIR, SHIPPED)
-    print(f'SHIPPED: student -> {SHIPPED}', flush=True)
+  ship = s_rate >= 0.95 and s_actions <= 1.5 * t_actions
+  if ship and os.path.isdir(spec['shipped']):
+    incumbent = eval_agent_lib.EvalAgent.load(spec['shipped'])
+    i_rate, i_actions, i_secs = eval_agent_on(spec['experiment'], incumbent)
+    print(
+        f'vs incumbent: {i_rate:.2f} @ {i_actions:.1f} / {i_secs:.1f}',
+        flush=True,
+    )
+    ship = s_rate > i_rate + 0.02 or (
+        s_rate > i_rate - 0.02 and s_actions < i_actions
+    )
+  if ship:
+    if os.path.isdir(spec['shipped']):
+      shutil.rmtree(spec['shipped'])
+    shutil.copytree(spec['workdir'], spec['shipped'])
+    print(f"SHIPPED: student -> {spec['shipped']}", flush=True)
   else:
-    print('NOT shipped (gate failed)', flush=True)
+    print('NOT shipped (gate failed or incumbent better)', flush=True)
 
   jax.clear_caches()
 

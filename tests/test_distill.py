@@ -57,9 +57,7 @@ def test_distillation_loss_decreases_and_tracks_teacher():
 
   # The student should be meaningfully closer to the teacher than an
   # untrained head on fresh on-policy states.
-  module = eval_agent.MLPPolicy(
-      hidden=TINY.hidden, action_dim=2, output_scale=TINY.output_scale
-  )
+  module = distill.student_module(TINY)
   init_params = module.init(jax.random.PRNGKey(99), jnp.zeros((1, 10)))[
       'params'
   ]
@@ -89,6 +87,64 @@ def test_distillation_loss_decreases_and_tracks_teacher():
       trained_err / count,
       init_err / count,
   )
+
+
+def test_variable_dwell_distillation_tracks_teacher_dwell():
+  """3-dim (variable-dwell) distillation: the student's dwell fraction
+  converges toward the teacher's on on-policy states."""
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(20),
+      rate_fn=rates_lib.simple_canonical_rates,
+      adapter=action_adapters.RelativeToSiliconMaterialFrameActionAdapter(
+          min_dwell_seconds=1.5,
+          max_dwell_seconds=20.0,
+          max_distance_angstroms=2 * BOND,
+      ),
+      features=features_lib.SingleSiliconMaterialFrameFeatures(),
+      config=env_lib.EnvConfig(
+          sim=simulator_lib.SimulatorConfig(grid_columns=20)
+      ),
+      batch_size=16,
+  )
+  config = distill.DistillConfig(
+      num_iterations=3,
+      rollout_length=8,
+      sgd_steps_per_iteration=60,
+      minibatch_size=128,
+      hidden=(32, 32),
+      num_radii=5,
+      num_angles=16,
+      dwell_range_seconds=(1.5, 20.0),
+      num_dwells=4,
+  )
+  assert config.action_dim == 3
+  params, metrics = distill.distill(
+      env, rates_lib.simple_canonical_rates, config, seed=0
+  )
+  assert np.isfinite(metrics['loss']).all()
+  assert metrics['loss'][-1] < metrics['loss'][0]
+
+  module = distill.student_module(config)
+  candidates = planner_lib.make_candidate_offsets(
+      num_radii=config.num_radii, num_angles=config.num_angles
+  )
+  dwell_grid = np.linspace(1.5, 20.0, config.num_dwells, dtype=np.float32)
+  state, ts = env.reset(jax.random.PRNGKey(3))
+  obs = ts.observation
+  teach = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=candidates,
+      dwell_grid_seconds=dwell_grid,
+  )
+  assert teach.shape == (16, 3)
+  student = module.apply({'params': params}, obs)
+  assert student.shape == (16, 3)
+  # Dwell dim lands near the teacher's [0, 1] fractions, not at the tanh
+  # rails (output_scale covers the angstrom dims).
+  dwell_err = float(jnp.mean(jnp.abs(student[:, 2] - teach[:, 2])))
+  assert dwell_err < 0.45, dwell_err
 
 
 def test_train_and_save_roundtrip(tmp_path):

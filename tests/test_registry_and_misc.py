@@ -129,6 +129,37 @@ def test_shipped_policy_checkpoints_load_and_reach_goals():
   assert agg.average_num_times_reached_goal >= 0.75
 
 
+def test_shipped_distilled_planner_reaches_goals():
+  """The distilled-planner checkpoint (agents/distill.py DAgger student)
+  loads through the registry and solves the prior-rate task the
+  reference's greedy controller cannot (~2% goals)."""
+  import os
+
+  import pytest
+
+  from putting_dune_tpu import eval_lib, run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights'
+  )
+  if not os.path.isdir(os.path.join(weights, 'planner_distilled_prior')):
+    pytest.skip('distilled planner weights not shipped yet')
+
+  exp = registry.create_eval_experiment('planner_distilled_prior')
+  agent = exp.get_agent(None, exp.get_adapters_and_goal())
+  env = run_helpers.create_batched_env(
+      exp.get_adapters_and_goal,
+      exp.get_simulator_config,
+      batch_size=8,
+  )
+  results = eval_lib.evaluate_batched(
+      env, agent.policy(), list(range(8)), max_steps=200
+  )
+  agg = eval_lib.aggregate_results(results)
+  assert agg.average_num_times_reached_goal >= 0.75
+
+
 def test_multi_dopant_registry_checkpoint_reaches_goals():
   """The shipped multi_dopant_2 policy drives both dopants to their goals
   through the registry + batched evaluator (end-to-end CLI path)."""
