@@ -158,6 +158,179 @@ def estimate_lattice_frame(
   return si_xy, bond_px, theta0
 
 
+def load_shipped_detector(weights_dir: Optional[str] = None):
+  """Loads the shipped UNet atom detector as (B, S, S, 1) -> logits fn."""
+  import os
+
+  from putting_dune_tpu.atom_detection import model as det_model
+  from putting_dune_tpu.atom_detection import train as det_train
+  from putting_dune_tpu.experiments import registry as registry_lib
+
+  workdir = weights_dir or os.path.join(
+      os.path.dirname(registry_lib.__file__),
+      'model_weights',
+      'atom_detector',
+  )
+  if not os.path.isdir(workdir):
+    raise FileNotFoundError(
+        f'No shipped atom detector at {workdir}; train one with '
+        'putting_dune_tpu.atom_detection.train.'
+    )
+  arch = det_train.load_arch(workdir)
+  features = tuple(arch['features']) if arch else (32, 64, 128, 256)
+  params = det_train.load_params(
+      workdir, det_train.Config(workdir=workdir, features=features)
+  )
+  module = det_model.UNet(features=features)
+  return lambda img: module.apply({'params': params}, img)
+
+
+def extract_peaks(
+    p_map: jnp.ndarray,
+    num_peaks: int,
+    min_separation_px: float,
+    sharpen: float = 4.0,
+) -> jnp.ndarray:
+  """Extracts num_peaks distinct maxima from (B, S, S) probability maps.
+
+  Iterative suppression (num_peaks is small and static, so the Python
+  loop unrolls under jit): hard argmax locates each peak, a sharpened
+  soft-argmax over the surrounding half-separation disk refines it to
+  sub-pixel, then the full separation disk is zeroed for later rounds.
+  A plain soft-argmax (estimate_lattice_frame's Si step) would return
+  the CENTROID of a multi-modal map — between the dopants.
+
+  Returns:
+    (B, num_peaks, 2) math-frame pixel positions (x right, y up), in
+    extraction order (descending peak height).
+  """
+  b, s, _ = p_map.shape
+  xs = jnp.arange(s, dtype=jnp.float32) + 0.5
+  x = jnp.broadcast_to(xs[None, :], (s, s))
+  y = jnp.broadcast_to((s - xs)[:, None], (s, s))
+  remaining = jnp.maximum(p_map, 0.0)
+  peaks = []
+  for _ in range(num_peaks):
+    flat = remaining.reshape(b, -1)
+    idx = jnp.argmax(flat, axis=-1)  # (B,)
+    cx = x.reshape(-1)[idx]
+    cy = y.reshape(-1)[idx]
+    r2 = (
+        jnp.square(x[None] - cx[:, None, None])
+        + jnp.square(y[None] - cy[:, None, None])
+    )
+    refine = r2 < jnp.square(0.5 * min_separation_px)
+    w = jnp.power(jnp.where(refine, remaining, 0.0), sharpen)
+    wsum = jnp.maximum(jnp.sum(w, axis=(1, 2)), 1e-12)
+    px = jnp.sum(w * x[None], axis=(1, 2)) / wsum
+    py = jnp.sum(w * y[None], axis=(1, 2)) / wsum
+    peaks.append(jnp.stack([px, py], axis=-1))
+    remaining = jnp.where(
+        r2 < jnp.square(min_separation_px), 0.0, remaining
+    )
+  return jnp.stack(peaks, axis=1)
+
+
+def multi_dopant_vision_planner_policy(
+    key: Optional[jax.Array],
+    observation,
+    *,
+    detector_fn,
+    rate_fn: rates_lib.RateFunction,
+    num_dopants: int,
+    dwell_seconds: float,
+    max_distance_angstroms: float,
+    candidates: np.ndarray,
+    min_separation_px: float = 6.0,
+) -> jnp.ndarray:
+  """Pixels-to-control for the D-dopant env with zero training.
+
+  Requires the env's anchor_order='position' (env/multi_dopant.py): the
+  env lists goal deltas in lexicographic dopant-position order and
+  anchors 'relative' actions on the first unlatched dopant in that same
+  order — an ordering this policy reproduces from detected peaks alone,
+  which is what makes the peak <-> goal-delta association observable.
+
+  Steps: UNet class maps -> D silicon peaks (extract_peaks) -> sort
+  lexicographically -> the anchor is the first peak whose goal delta is
+  live (latched dopants read zero delta) -> local lattice geometry
+  measured AT the anchor (Si map masked to its disk) -> single-dopant
+  rate-aware planning on the anchor's geometry.
+
+  Args:
+    observation: {'image': (B, S, S, 1),
+                  'goal_delta_angstroms': (B, D*2)} — position-ordered.
+
+  Returns:
+    (B, 2) actions in units of max_distance_angstroms (beam offset from
+    the anchor dopant, the env's 'relative' convention).
+  """
+  del key
+  image = observation['image']
+  batch = image.shape[0]
+  deltas = observation['goal_delta_angstroms'].reshape(
+      batch, num_dopants, 2
+  )
+
+  probs = jax.nn.softmax(detector_fn(image), axis=-1)
+  p_carbon, p_si = probs[..., 1], probs[..., 2]
+
+  peaks = extract_peaks(p_si, num_dopants, min_separation_px)
+  # The env's lexicographic (x, y) order (multi_dopant._position_key).
+  lex = peaks[..., 0] * 4096.0 + peaks[..., 1]
+  order = jnp.argsort(lex, axis=-1)
+  peaks = jnp.take_along_axis(peaks, order[..., None], axis=1)
+
+  live = jnp.linalg.norm(deltas, axis=-1) > 1e-6  # (B, D)
+  pick = jnp.argmax(live, axis=-1)  # (B,) first unlatched, env's anchor
+  anchor_px = jnp.take_along_axis(
+      peaks, pick[:, None, None], axis=1
+  )[:, 0]
+  goal_delta = jnp.take_along_axis(
+      deltas, pick[:, None, None], axis=1
+  )[:, 0]
+
+  # Local lattice frame AT the anchor: mask the Si map to the anchor's
+  # disk so estimate_lattice_frame's soft-argmax and carbon histograms
+  # center on it (other dopants are silicon-class, so they do not
+  # contaminate the carbon shells).
+  s = p_si.shape[1]
+  xs = jnp.arange(s, dtype=jnp.float32) + 0.5
+  x = jnp.broadcast_to(xs[None, :], (s, s))
+  y = jnp.broadcast_to((s - xs)[:, None], (s, s))
+  r2 = (
+      jnp.square(x[None] - anchor_px[:, 0][:, None, None])
+      + jnp.square(y[None] - anchor_px[:, 1][:, None, None])
+  )
+  masked_si = jnp.where(
+      r2 < jnp.square(0.5 * min_separation_px), p_si, 0.0
+  )
+  _, _, theta0 = estimate_lattice_frame(masked_si, p_carbon)
+
+  angles = theta0[:, None] + jnp.asarray(
+      [0.0, 2.0 * jnp.pi / 3.0, 4.0 * jnp.pi / 3.0]
+  )
+  nbr_deltas = BOND * jnp.stack(
+      [jnp.cos(angles), jnp.sin(angles)], axis=-1
+  )
+  single_obs = jnp.concatenate(
+      [
+          jnp.zeros((batch, 2), jnp.float32),
+          nbr_deltas.reshape(batch, 6),
+          goal_delta,
+      ],
+      axis=-1,
+  )
+  action_angstroms = planner_lib.planner_policy(
+      None,
+      single_obs,
+      rate_fn=rate_fn,
+      dwell_seconds=dwell_seconds,
+      candidates=candidates,
+  )
+  return action_angstroms / max_distance_angstroms
+
+
 def vision_planner_policy(
     key: Optional[jax.Array],
     observation,
@@ -234,29 +407,7 @@ class VisionPlannerAgent:
   weights_dir: Optional[str] = None
 
   def __post_init__(self):
-    import os
-
-    from putting_dune_tpu.atom_detection import model as det_model
-    from putting_dune_tpu.atom_detection import train as det_train
-    from putting_dune_tpu.experiments import registry as registry_lib
-
-    workdir = self.weights_dir or os.path.join(
-        os.path.dirname(registry_lib.__file__),
-        'model_weights',
-        'atom_detector',
-    )
-    if not os.path.isdir(workdir):
-      raise FileNotFoundError(
-          f'No shipped atom detector at {workdir}; train one with '
-          'putting_dune_tpu.atom_detection.train.'
-      )
-    arch = det_train.load_arch(workdir)
-    features = tuple(arch['features']) if arch else (32, 64, 128, 256)
-    params = det_train.load_params(
-        workdir, det_train.Config(workdir=workdir, features=features)
-    )
-    module = det_model.UNet(features=features)
-    self._detector_fn = lambda img: module.apply({'params': params}, img)
+    self._detector_fn = load_shipped_detector(self.weights_dir)
     self._candidates = planner_lib.make_candidate_offsets(
         max_radius=self.max_distance_angstroms
     )
@@ -270,4 +421,37 @@ class VisionPlannerAgent:
         dwell_seconds=self.dwell_seconds,
         max_distance_angstroms=self.max_distance_angstroms,
         candidates=self._candidates,
+    )
+
+
+@dataclasses.dataclass
+class MultiDopantVisionPlannerAgent:
+  """Registry agent: pixels-to-control for the D-dopant env (zero
+  training). Requires the env's anchor_order='position' and 'image'
+  observations; exposes .policy() for eval.py's batched path."""
+
+  rate_fn: rates_lib.RateFunction
+  num_dopants: int
+  dwell_seconds: float = 5.0
+  max_distance_angstroms: float = 2.0 * BOND
+  weights_dir: Optional[str] = None
+  min_separation_px: float = 6.0
+
+  def __post_init__(self):
+    self._detector_fn = load_shipped_detector(self.weights_dir)
+    self._candidates = planner_lib.make_candidate_offsets(
+        max_radius=self.max_distance_angstroms
+    )
+
+  def policy(self):
+    return lambda key, obs: multi_dopant_vision_planner_policy(
+        key,
+        obs,
+        detector_fn=self._detector_fn,
+        rate_fn=self.rate_fn,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=self.max_distance_angstroms,
+        candidates=self._candidates,
+        min_separation_px=self.min_separation_px,
     )

@@ -113,6 +113,14 @@ class MultiDopantEnv(struct.PyTreeNode):
   # deltas, (B, D*4 + 6): the geometry a model-based planner needs,
   # mirroring the single-dopant material-frame features.
   observation_mode: str = struct.field(pytree_node=False, default='vector')
+  # 'index': the anchor ('relative' actions) is the first unlatched dopant
+  # by internal index — the order goals were sampled in (what the shipped
+  # PPO policies trained against). 'position': first unlatched in
+  # lexicographic (x, y) MATERIAL-POSITION order, and observations list
+  # dopants in that same order — an ordering an agent can reproduce from
+  # pixels alone (agents/vision_planner.py multi-dopant policy), since
+  # internal indices are not observable in an image.
+  anchor_order: str = struct.field(pytree_node=False, default='index')
   image_size: int = struct.field(pytree_node=False, default=128)
   window_capacity: int = struct.field(pytree_node=False, default=512)
   noisy_images: bool = struct.field(pytree_node=False, default=False)
@@ -214,14 +222,38 @@ class MultiDopantEnv(struct.PyTreeNode):
         si_slot=jnp.full((self.batch_size,), -1, jnp.int32),
     )
 
+  def _position_key(self, si: jnp.ndarray) -> jnp.ndarray:
+    """(B, D) lexicographic (x, y) sort key over dopant positions. 4096
+    dwarfs the lattice extent (~110 A at 50 columns) so x strictly
+    dominates; distinct sites are >= one bond apart in x or y."""
+    return si[..., 0] * 4096.0 + si[..., 1]
+
+  def _anchor_index(
+      self, state: MultiDopantState, si: jnp.ndarray
+  ) -> jnp.ndarray:
+    """(B,) index of the dopant 'relative' actions address: the first
+    unlatched dopant — by internal index, or by lexicographic position
+    when anchor_order='position' (observable from pixels)."""
+    unlatched = jnp.logical_not(state.latched)
+    if self.anchor_order == 'position':
+      key = jnp.where(unlatched, self._position_key(si), jnp.inf)
+      return jnp.argmin(key, axis=-1)
+    return jnp.argmax(unlatched, axis=-1)
+
   def _observation(
       self, state: MultiDopantState, key: Optional[jax.Array] = None
   ):
-    si = self._si_positions(state)
-    delta = state.goals - si
+    si_raw = self._si_positions(state)
+    si, delta = si_raw, state.goals - si_raw
     if self.sticky_goals:
       # Latched goals read as zero delta — "nothing left to do here".
       delta = jnp.where(state.latched[..., None], 0.0, delta)
+    if self.anchor_order == 'position':
+      # Observations list dopants in the observable lexicographic order
+      # (matching _anchor_index), not the internal goal-sampling order.
+      order = jnp.argsort(self._position_key(si), axis=-1)  # (B, D)
+      si = jnp.take_along_axis(si, order[..., None], axis=1)
+      delta = jnp.take_along_axis(delta, order[..., None], axis=1)
     if self.observation_mode == 'image':
       if key is None:
         raise ValueError('image observations require a PRNG key')
@@ -242,15 +274,15 @@ class MultiDopantEnv(struct.PyTreeNode):
     )
     if self.observation_mode == 'vector_neighbors':
       # Anchor = first unlatched dopant, matching step()'s 'relative'
-      # action anchor exactly.
+      # action anchor exactly (internal or position order per config).
       b = self.batch_size
-      pick_d = jnp.argmax(jnp.logical_not(state.latched), axis=-1)  # (B,)
+      pick_d = self._anchor_index(state, si_raw)  # (B,)
       anchor_site = state.si_indices[jnp.arange(b), pick_d]  # (B,)
       nbr_idx = self.lattice.neighbors[anchor_site]  # (B, 3)
       nbr_pos = lattice_lib.site_position(
           self.lattice, nbr_idx, state.offset, state.theta
       )  # (B, 3, 2)
-      anchor_pos = si[jnp.arange(b), pick_d]  # (B, 2)
+      anchor_pos = si_raw[jnp.arange(b), pick_d]  # (B, 2)
       nbr_deltas = nbr_pos - anchor_pos[:, None, :]
       vector = jnp.concatenate(
           [vector, nbr_deltas.reshape(b, 6)], axis=-1
@@ -349,9 +381,9 @@ class MultiDopantEnv(struct.PyTreeNode):
     k_kmc, k_reset, k_render = jax.random.split(key, 3)
     action = jnp.clip(action, -1.0, 1.0)
     if self.action_mode == 'relative':
-      # Beam offset from the first unlatched dopant.
-      pick_d = jnp.argmax(jnp.logical_not(state.latched), axis=-1)  # (B,)
+      # Beam offset from the first unlatched dopant (anchor_order rule).
       si = self._si_positions(state)  # (B, D, 2)
+      pick_d = self._anchor_index(state, si)  # (B,)
       anchor = si[jnp.arange(b), pick_d]  # (B, 2)
       beam = anchor + action * self.max_distance_angstroms
     else:

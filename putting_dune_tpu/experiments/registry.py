@@ -660,6 +660,8 @@ def _make_multi_dopant_env(
     grid_columns: int = 50,
     step_limit: int = 600,
     observation_mode: str = 'vector',
+    anchor_order: str = 'index',
+    image_size: int = 128,
 ):
   """Env factory matching the shipped multi_dopant_2 training settings
   (runs/train_multidopant.py: lattice 50, simple rates, 5 s dwell,
@@ -675,6 +677,8 @@ def _make_multi_dopant_env(
       dwell_seconds=dwell_seconds,
       step_limit=step_limit,
       observation_mode=observation_mode,
+      anchor_order=anchor_order,
+      image_size=image_size,
   )
 
 
@@ -691,6 +695,26 @@ class _MultiDopantPlannerFactory:
     from putting_dune_tpu.agents import planner as planner_lib
 
     return planner_lib.MultiDopantPlannerAgent(
+        rate_fn=rates_lib.simple_canonical_rates,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=2.0 * BOND,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _MultiDopantVisionPlannerFactory:
+  """get_agent for the D-dopant vision planner ('image' observations +
+  anchor_order='position')."""
+
+  num_dopants: int
+  dwell_seconds: float = 5.0
+
+  def __call__(self, rng, adapters_and_goal):
+    del rng, adapters_and_goal
+    from putting_dune_tpu.agents import vision_planner as vp
+
+    return vp.MultiDopantVisionPlannerAgent(
         rate_fn=rates_lib.simple_canonical_rates,
         num_dopants=self.num_dopants,
         dwell_seconds=self.dwell_seconds,
@@ -735,6 +759,34 @@ _MULTI_DOPANT_EXPERIMENTS = {
             observation_mode='vector_neighbors',
         ),
         get_agent=_MultiDopantPlannerFactory(num_dopants=3),
+        num_dopants=3,
+    ),
+    # Pixels-to-control for D dopants with zero training: shipped UNet ->
+    # per-dopant peak extraction -> anchor geometry -> planner
+    # (agents/vision_planner.py multi_dopant_vision_planner_policy). The
+    # env's anchor_order='position' makes the peak <-> goal association
+    # observable from the image alone; image 256^2 (the detector's
+    # training size).
+    'multi_dopant_2_vision_planner': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=2,
+            observation_mode='image',
+            anchor_order='position',
+            image_size=256,
+        ),
+        get_agent=_MultiDopantVisionPlannerFactory(num_dopants=2),
+        num_dopants=2,
+    ),
+    'multi_dopant_3_vision_planner': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=3,
+            observation_mode='image',
+            anchor_order='position',
+            image_size=256,
+        ),
+        get_agent=_MultiDopantVisionPlannerFactory(num_dopants=3),
         num_dopants=3,
     ),
 }
