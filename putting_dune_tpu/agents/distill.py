@@ -95,8 +95,9 @@ def student_module(config: DistillConfig) -> 'eval_agent.MLPPolicy':
 
 def make_distill_fns(
     env: env_lib.PuttingDuneEnv,
-    rate_fn: rates_lib.RateFunction,
+    rate_fn: Optional[rates_lib.RateFunction],
     config: DistillConfig = DistillConfig(),
+    teacher=None,
 ):
   """Builds (init_carry, run_iteration, module) for chunked distillation.
 
@@ -104,27 +105,34 @@ def make_distill_fns(
   the dataset buffer has static capacity num_iterations * rollout_length
   * batch samples and is filled in iteration order, so the compiled
   program is shape-stable across iterations.
+
+  teacher: optional obs -> (B, action_dim) pure function to imitate (any
+  batched controller with the env's action semantics — e.g. the
+  multi-dopant planner). Default: the single-dopant rate-aware planner
+  built from rate_fn + the config's planner settings.
   """
   module = student_module(config)
-  candidates = planner_lib.make_candidate_offsets(
-      num_radii=config.num_radii, num_angles=config.num_angles
-  )
-  dwell_grid = None
-  if config.dwell_range_seconds is not None:
-    lo, hi = config.dwell_range_seconds
-    dwell_grid = np.linspace(lo, hi, config.num_dwells, dtype=np.float32)
 
-  def teacher(obs):
-    return planner_lib.planner_policy(
-        None,
-        obs,
-        rate_fn=rate_fn,
-        dwell_seconds=config.dwell_seconds,
-        candidates=candidates,
-        lookahead_discount=config.lookahead_discount,
-        dwell_grid_seconds=dwell_grid,
-        image_duration_seconds=config.image_duration_seconds,
+  if teacher is None:
+    candidates = planner_lib.make_candidate_offsets(
+        num_radii=config.num_radii, num_angles=config.num_angles
     )
+    dwell_grid = None
+    if config.dwell_range_seconds is not None:
+      lo, hi = config.dwell_range_seconds
+      dwell_grid = np.linspace(lo, hi, config.num_dwells, dtype=np.float32)
+
+    def teacher(obs):  # noqa: F811 — the documented default
+      return planner_lib.planner_policy(
+          None,
+          obs,
+          rate_fn=rate_fn,
+          dwell_seconds=config.dwell_seconds,
+          candidates=candidates,
+          lookahead_discount=config.lookahead_discount,
+          dwell_grid_seconds=dwell_grid,
+          image_duration_seconds=config.image_duration_seconds,
+      )
 
   batch = env.batch_size
   obs_dim = env.observation_spec().shape[0]
@@ -239,9 +247,12 @@ def distill(
     config: DistillConfig = DistillConfig(),
     seed: int = 0,
     progress=None,
+    teacher=None,
 ):
   """Runs the full DAgger loop; returns (params, metrics dict of lists)."""
-  init_carry, run_iteration, _ = make_distill_fns(env, rate_fn, config)
+  init_carry, run_iteration, _ = make_distill_fns(
+      env, rate_fn, config, teacher=teacher
+  )
   carry = init_carry(jax.random.PRNGKey(seed))
   losses = []
   for i in range(config.num_iterations):
@@ -261,10 +272,13 @@ def train_and_save(
     config: DistillConfig = DistillConfig(),
     seed: int = 0,
     progress=None,
+    teacher=None,
 ) -> eval_agent.EvalAgent:
   """Distills and saves an EvalAgent checkpoint loadable by the registry
   (experiments/registry.py PolicyCheckpointAgent)."""
-  params, _ = distill(env, rate_fn, config, seed=seed, progress=progress)
+  params, _ = distill(
+      env, rate_fn, config, seed=seed, progress=progress, teacher=teacher
+  )
   module = student_module(config)
   agent = eval_agent.EvalAgent(module, params)
   agent.save(workdir)

@@ -761,6 +761,28 @@ _MULTI_DOPANT_EXPERIMENTS = {
         get_agent=_MultiDopantPlannerFactory(num_dopants=3),
         num_dopants=3,
     ),
+    # The multi-dopant planner DAgger-distilled into MLPs
+    # (runs/distill_multidopant.py): planner-grade control at the PPO
+    # checkpoints' inference cost, over the same 'vector_neighbors'
+    # observations the planner consumes.
+    'multi_dopant_2_distilled': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=2,
+            observation_mode='vector_neighbors',
+        ),
+        get_agent=PolicyCheckpointAgent('multi_dopant_2_distilled'),
+        num_dopants=2,
+    ),
+    'multi_dopant_3_distilled': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=3,
+            observation_mode='vector_neighbors',
+        ),
+        get_agent=PolicyCheckpointAgent('multi_dopant_3_distilled'),
+        num_dopants=3,
+    ),
     # Pixels-to-control for D dopants with zero training: shipped UNet ->
     # per-dopant peak extraction -> anchor geometry -> planner
     # (agents/vision_planner.py multi_dopant_vision_planner_policy). The

@@ -147,6 +147,50 @@ def test_variable_dwell_distillation_tracks_teacher_dwell():
   assert dwell_err < 0.45, dwell_err
 
 
+def test_external_teacher_multi_dopant_distillation():
+  """distill() with an external teacher (the multi-dopant planner over
+  'vector_neighbors' observations) — the runs/distill_multidopant.py
+  path."""
+  from putting_dune_tpu.env import multi_dopant
+
+  env = multi_dopant.MultiDopantEnv(
+      lattice=lattice_lib.make_lattice(20),
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=8,
+      num_dopants=2,
+      dwell_seconds=5.0,
+      observation_mode='vector_neighbors',
+  )
+  agent = planner_lib.MultiDopantPlannerAgent(
+      rate_fn=rates_lib.simple_canonical_rates,
+      num_dopants=2,
+      dwell_seconds=5.0,
+      max_distance_angstroms=2 * BOND,
+      num_radii=5,
+      num_angles=16,
+  )
+  teacher = agent.policy()
+  config = distill.DistillConfig(
+      num_iterations=2,
+      rollout_length=8,
+      sgd_steps_per_iteration=50,
+      minibatch_size=128,
+      hidden=(32, 32),
+      output_scale=1.0,
+  )
+  params, metrics = distill.distill(
+      env, None, config, seed=0, teacher=lambda obs: teacher(None, obs)
+  )
+  losses = metrics['loss']
+  assert np.isfinite(losses).all()
+  assert losses[-1] < losses[0]
+  module = distill.student_module(config)
+  state, ts = env.reset(jax.random.PRNGKey(2))
+  out = module.apply({'params': params}, ts.observation)
+  assert out.shape == (8, 2)
+  assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-6
+
+
 def test_train_and_save_roundtrip(tmp_path):
   env = _make_env(batch_size=8)
   config = distill.DistillConfig(
