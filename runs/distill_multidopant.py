@@ -10,7 +10,8 @@ experiments/model_weights/multi_dopant_{D}_distilled on the gate:
   goal rate >= 0.95 AND actions-to-goal <= 1.3x the live planner's,
   and strictly better than any existing incumbent.
 
-Usage: python runs/distill_multidopant.py [D] [num_iterations] [batch] [seed]
+Usage: python runs/distill_multidopant.py [D] [num_iterations] [batch]
+       [seed] [hidden_width]
 """
 
 import os
@@ -49,6 +50,7 @@ def main() -> None:
   num_iterations = int(sys.argv[2]) if len(sys.argv) > 2 else 12
   batch = int(sys.argv[3]) if len(sys.argv) > 3 else 512
   seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+  hidden = int(sys.argv[5]) if len(sys.argv) > 5 else 256
   shipped = f'{WEIGHTS}/multi_dopant_{num_dopants}_distilled'
   workdir = f'runs/multi_dopant_{num_dopants}_distilled_cand'
 
@@ -66,6 +68,7 @@ def main() -> None:
       rollout_length=64,
       sgd_steps_per_iteration=384,
       minibatch_size=4096,
+      hidden=(hidden, hidden),
       output_scale=1.0,  # 'relative' actions are [-1, 1] fractions
   )
 

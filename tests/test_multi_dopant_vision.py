@@ -209,6 +209,19 @@ def test_multi_dopant_vision_policy_matches_truth_planner(theta0):
   np.testing.assert_allclose(action, want, atol=0.15)
 
 
+def test_multi_dopant_registry_names():
+  from putting_dune_tpu.experiments import registry
+
+  names = set(registry.multi_dopant_experiment_names())
+  for want in [
+      'multi_dopant_2_vision_planner',
+      'multi_dopant_3_vision_planner',
+      'multi_dopant_2_distilled',
+      'multi_dopant_3_distilled',
+  ]:
+    assert want in names, want
+
+
 def test_multi_dopant_vision_registry_smoke():
   """The registry experiment wires up end-to-end: env (image obs,
   position anchors) + shipped detector + policy produce finite actions
