@@ -7,7 +7,7 @@ the PPO checkpoints use, over the planner's 'vector_neighbors'
 observations, and ships to
 experiments/model_weights/multi_dopant_{D}_distilled on the gate:
 
-  goal rate >= 0.95 AND actions-to-goal <= 1.3x the live planner's,
+  goal rate >= 0.95 AND actions-to-goal <= 1.5x the live planner's
   and strictly better than any existing incumbent.
 
 Usage: python runs/distill_multidopant.py [D] [num_iterations] [batch]
@@ -99,7 +99,7 @@ def main() -> None:
       flush=True,
   )
 
-  ship = s_rate >= 0.95 and s_actions <= 1.3 * t_actions
+  ship = s_rate >= 0.95 and s_actions <= 1.5 * t_actions
   if ship and os.path.isdir(shipped):
     incumbent = eval_agent_lib.EvalAgent.load(shipped)
     i_rate, i_actions = eval_on(num_dopants, incumbent.policy())

@@ -222,6 +222,32 @@ def test_multi_dopant_registry_names():
     assert want in names, want
 
 
+def test_shipped_multi_dopant_distilled_reaches_goals():
+  """The distilled multi-dopant MLP (runs/distill_multidopant.py) loads
+  through the registry and reaches goals."""
+  import os
+
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu.experiments import registry
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__),
+      'model_weights',
+      'multi_dopant_2_distilled',
+  )
+  if not os.path.isdir(weights):
+    pytest.skip('multi_dopant_2_distilled weights not shipped yet')
+
+  exp = registry.create_multi_dopant_experiment('multi_dopant_2_distilled')
+  env = exp.make_env(8, step_limit=300)
+  agent = exp.get_agent(None, None)
+  results = eval_lib.evaluate_batched(
+      env, agent.policy(), list(range(8)), max_steps=300
+  )
+  agg = eval_lib.aggregate_results(results)
+  assert agg.average_num_times_reached_goal >= 0.75
+
+
 def test_multi_dopant_vision_registry_smoke():
   """The registry experiment wires up end-to-end: env (image obs,
   position anchors) + shipped detector + policy produce finite actions
