@@ -182,14 +182,23 @@ class PuttingDuneEnv:
     k_reset, k_step = jax.random.split(key)
 
     # ---- stepped branch (computed for all envs) ---------------------------
+    # The adapter aims relative to the silicon the instrument OBSERVED in
+    # the last frame (true position + cumulative drift); with drift enabled
+    # the beam then lands off-target by exactly one drift increment (see
+    # simulator.step). With drift disabled this adds zeros — bitwise no-op.
+    si_true_prev = lattice_lib.site_position(
+        self.lattice,
+        state.sim.material.si_index,
+        state.sim.material.offset,
+        state.sim.material.theta,
+    )
+    if state.sim.drift is not None:
+      si_observed_prev = si_true_prev + state.sim.drift
+    else:
+      si_observed_prev = si_true_prev
     ctx = action_adapters.AdapterContext(
         si_position_microscope=state.sim.fov.material_to_microscope(
-            lattice_lib.site_position(
-                self.lattice,
-                state.sim.material.si_index,
-                state.sim.material.offset,
-                state.sim.material.theta,
-            )
+            si_observed_prev
         ),
         fov=state.sim.fov,
     )
@@ -210,7 +219,16 @@ class PuttingDuneEnv:
         return_window=self.features.requires_window,
         return_image=False,
     )
-    si_material = obs.fov.microscope_to_material(obs.si_position_microscope)
+    # Goal progress is a fact about the SAMPLE: judge it on the true
+    # silicon site, not the drift-shifted observation (physically, reaching
+    # the goal atom is frame-independent; with drift off this matches the
+    # previous obs-roundtrip computation to float precision).
+    si_material = lattice_lib.site_position(
+        self.lattice,
+        sim_state.material.si_index,
+        sim_state.material.offset,
+        sim_state.material.theta,
+    )
     new_goal, goal_ret = goals_lib.reward_and_terminal(
         state.goal, si_material, obs.elapsed_seconds
     )
@@ -296,16 +314,22 @@ class PuttingDuneEnv:
         jnp.any(needs), any_reset, no_reset, operand=None
     )
     if self.features.requires_image:
+      # Render the DRIFTED world (what the camera sees): the true lattice
+      # through the believed FOV shifted by -drift (see simulator._observe).
+      # Numerical no-op when drift is zeros/None.
+      render_fov = new_state.sim.fov
+      if new_state.sim.drift is not None:
+        render_fov = render_fov.shift(-new_state.sim.drift)
       window = simulator_lib.atom_window(
           self.lattice,
           new_state.sim.material,
-          new_state.sim.fov,
+          render_fov,
           self.config.sim.window_capacity,
       )
       image = imaging_render.render_stem_image(
           k_img,
           window,
-          new_state.sim.fov,
+          render_fov,
           new_state.sim.imaging,
           image_size=self.config.sim.image_size,
       )

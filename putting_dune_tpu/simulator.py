@@ -52,6 +52,12 @@ class SimulatorConfig:
   window_capacity: int = 512
   image_size: int = 512
   noisy_images: bool = False  # sample_noisy_image_parameters variant.
+  # Instrument drift (BASELINE stress config 5): per-axis uniform drift
+  # increment U(-d, d) angstroms added once per step, cumulative over the
+  # episode — the same per-frame law the image-alignment training data uses
+  # (image_alignment/data.py, reference image_alignment/dataset.py:37-48).
+  # 0.0 (default) disables drift with bitwise-identical RNG consumption.
+  drift_per_frame_angstroms: float = 0.0
 
 
 def _fov_around(si_pos: jnp.ndarray, scale: jnp.ndarray
@@ -128,9 +134,25 @@ def _observe(
     return_window: bool,
     return_image: bool,
     last_controls: Optional[structures.BeamControl] = None,
+    drift: Optional[jnp.ndarray] = None,
 ) -> structures.MicroscopeObservation:
-  """Builds the observation for the current state."""
+  """Builds the observation for the current state.
+
+  When ``drift`` is given, the observation reports the DRIFTED world: all
+  observed geometry (silicon, neighbors, window, image) is shifted by the
+  cumulative instrument drift while the believed FOV stays put — what a
+  real microscope measures when the stage drifts under a calibrated scan
+  coil (reference Drift.apply_to_observation, microscope_utils.py:781-808,
+  inverted: there recorded observations are corrected, here live ones are
+  corrupted). Implementation: observing the world shifted by +drift in the
+  believed FOV is identical to observing the TRUE world through the FOV
+  shifted by -drift — so conversions use the shifted FOV while the
+  returned observation still reports the believed one. (material.offset is
+  applied PRE-rotation in lattice.world_positions, so a world-frame drift
+  cannot be folded into it.)
+  """
   material = state.material
+  fov_obs = state.fov if drift is None else state.fov.shift(-drift)
   si_pos = lattice_lib.site_position(
       lattice, material.si_index, material.offset, material.theta
   )
@@ -138,25 +160,25 @@ def _observe(
   nbr_pos = lattice_lib.site_position(
       lattice, nbr_idx, material.offset, material.theta
   )
-  si_micro = state.fov.material_to_microscope(si_pos)
+  si_micro = fov_obs.material_to_microscope(si_pos)
   nbr_micro = geometry.material_to_microscope(
       nbr_pos,
-      state.fov.lower_left[..., None, :],
-      state.fov.upper_right[..., None, :],
+      fov_obs.lower_left[..., None, :],
+      fov_obs.upper_right[..., None, :],
   )
   silicon_in_view = jnp.all((si_micro >= 0.0) & (si_micro <= 1.0), axis=-1)
 
   window = None
   image = None
   if return_window or return_image:
-    window = atom_window(lattice, material, state.fov, config.window_capacity)
+    window = atom_window(lattice, material, fov_obs, config.window_capacity)
   if return_image:
     if key is None:
       raise ValueError('return_image requires a PRNG key.')
     image = imaging_render.render_stem_image(
         key,
         window,
-        state.fov,
+        fov_obs,
         state.imaging,
         image_size=config.image_size,
     )
@@ -216,8 +238,10 @@ def reset(
       k_imaging, batch_size, noisy=config.noisy_images
   )
 
-  state = structures.SimulatorState(material=material, fov=fov,
-                                    imaging=imaging)
+  state = structures.SimulatorState(
+      material=material, fov=fov, imaging=imaging,
+      drift=jnp.zeros((batch_size, 2), jnp.float32),
+  )
   elapsed = jnp.full((batch_size,), config.image_duration_seconds,
                      dtype=jnp.float32)
   obs = _observe(
@@ -266,10 +290,28 @@ def step(
   """
   if rate_fn is None:
     rate_fn = rates_lib.prior_rates
-  k_kmc, k_image = jax.random.split(key)
+
+  # Instrument drift advances once per step BEFORE the beam is applied: the
+  # controller aimed using the PREVIOUS frame (previous drift), so the beam
+  # lands off-target by exactly one drift increment — the physically right
+  # error model (the image is older than the dwell). The static branch keeps
+  # RNG consumption bitwise-identical when drift is disabled.
+  drift = state.drift
+  if config.drift_per_frame_angstroms > 0.0:
+    k_kmc, k_image, k_drift = jax.random.split(key, 3)
+    d = config.drift_per_frame_angstroms
+    prev = drift if drift is not None else 0.0
+    drift = prev + jax.random.uniform(
+        k_drift, control.position.shape, minval=-d, maxval=d
+    )
+  else:
+    k_kmc, k_image = jax.random.split(key)
 
   material = state.material
   beam_material = state.fov.microscope_to_material(control.position)
+  if drift is not None:
+    # Believed-frame coordinates sit at +drift from the true sample frame.
+    beam_material = beam_material - drift
 
   result = kmc.apply_control(
       k_kmc,
@@ -287,14 +329,18 @@ def step(
   elapsed = control.dwell_seconds + config.image_duration_seconds
 
   # FOV safe-area check in the CURRENT fov (reference simulator.py:156-169).
+  # The instrument sees (and recenters on) the OBSERVED silicon — the true
+  # position shifted by the cumulative drift — so the believed FOV tracks
+  # what the camera measures, not ground truth.
   si_pos = lattice_lib.site_position(
       lattice, material.si_index, material.offset, material.theta
   )
-  si_micro = state.fov.material_to_microscope(si_pos)
+  si_observed = si_pos if drift is None else si_pos + drift
+  si_micro = state.fov.material_to_microscope(si_observed)
   outside = jnp.any((si_micro < 0.25) | (si_micro > 0.75), axis=-1)
 
   fov_scale = state.fov.width  # square FOV; preserved across recenters.
-  recentered = _fov_around(si_pos, fov_scale)
+  recentered = _fov_around(si_observed, fov_scale)
   new_fov = structures.FieldOfView(
       lower_left=jnp.where(
           outside[..., None], recentered.lower_left, state.fov.lower_left
@@ -309,11 +355,11 @@ def step(
   )
 
   new_state = structures.SimulatorState(
-      material=material, fov=new_fov, imaging=state.imaging
+      material=material, fov=new_fov, imaging=state.imaging, drift=drift
   )
   obs = _observe(
       lattice, new_state, elapsed, config, k_image,
       return_window=return_window, return_image=return_image,
-      last_controls=control,
+      last_controls=control, drift=drift,
   )
   return new_state, obs, result

@@ -176,8 +176,15 @@ class SimulatorState(struct.PyTreeNode):
     material: lattice pose + dopant site.
     fov: current field of view (square, tracks the silicon).
     imaging: per-episode image randomization parameters.
+    drift: (B, 2) cumulative instrument drift in material-frame angstroms —
+      the TRUE offset between where the instrument believes its FOV is and
+      where the sample actually sits (reference microscope_utils.py:760-835
+      models the same quantity as per-frame Drift labels). Observations are
+      built from the drifted world; physics (KMC, goals) stays in the true
+      frame. None is treated as zero drift (states from older checkpoints).
   """
 
   material: MaterialState
   fov: FieldOfView
   imaging: ImagingParams
+  drift: jnp.ndarray | None = None

@@ -1,0 +1,219 @@
+"""Instrument-drift semantics (BASELINE stress config 5).
+
+The drift model: `SimulatorState.drift` is the cumulative offset between
+where the instrument believes its FOV sits and where the sample actually
+is. Observations (si/neighbors/window/image) come from the drifted world;
+physics (KMC transitions, goal checks) stays in the true frame; the beam
+lands off-target by exactly one drift increment relative to the frame the
+controller aimed with. Reference quantity: microscope_utils.py:760-835
+(Drift labels); per-frame law matches image_alignment/data.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from putting_dune_tpu import constants
+from putting_dune_tpu import lattice as lattice_lib
+from putting_dune_tpu import rates as rates_lib
+from putting_dune_tpu import simulator as simulator_lib
+from putting_dune_tpu import structures
+from putting_dune_tpu.env import env as env_lib
+
+LATTICE = lattice_lib.make_lattice(num_cols=20)
+CONFIG = simulator_lib.SimulatorConfig(grid_columns=20)
+DRIFT_CONFIG = simulator_lib.SimulatorConfig(
+    grid_columns=20, drift_per_frame_angstroms=0.5
+)
+
+
+def _step(state, key, config, dwell=1.5, position=None, batch=None):
+  batch = batch or state.material.theta.shape[0]
+  if position is None:
+    position = jnp.full((batch, 2), 0.5)
+  control = structures.BeamControl(
+      position=position,
+      dwell_seconds=jnp.full((batch,), dwell),
+  )
+  return simulator_lib.step(state, key, control, LATTICE, config=config)
+
+
+def test_drift_disabled_stays_zero_and_matches_default():
+  """With drift off the state drift stays exactly zero and the RNG path is
+  unchanged (default config == explicit drift=0 config, bitwise)."""
+  state, _ = simulator_lib.reset(
+      jax.random.PRNGKey(0), LATTICE, config=CONFIG, batch_size=4
+  )
+  s1, o1, _ = _step(state, jax.random.PRNGKey(1), CONFIG)
+  assert s1.drift is not None
+  np.testing.assert_array_equal(np.asarray(s1.drift), 0.0)
+  np.testing.assert_array_equal(
+      np.asarray(o1.si_position_microscope),
+      np.asarray(
+          s1.fov.material_to_microscope(
+              lattice_lib.site_position(
+                  LATTICE, s1.material.si_index, s1.material.offset,
+                  s1.material.theta,
+              )
+          )
+      ),
+  )
+
+
+def test_drift_accumulates_with_bounded_increments():
+  d = DRIFT_CONFIG.drift_per_frame_angstroms
+  state, _ = simulator_lib.reset(
+      jax.random.PRNGKey(0), LATTICE, config=DRIFT_CONFIG, batch_size=64
+  )
+  np.testing.assert_array_equal(np.asarray(state.drift), 0.0)
+  key = jax.random.PRNGKey(1)
+  prev = np.zeros((64, 2))
+  for t in range(5):
+    key, k = jax.random.split(key)
+    state, _, _ = _step(state, k, DRIFT_CONFIG)
+    cur = np.asarray(state.drift)
+    inc = cur - prev
+    assert (np.abs(inc) <= d + 1e-6).all()
+    assert np.abs(inc).max() > 0.0
+    assert np.abs(cur).max() <= (t + 1) * d + 1e-6
+    prev = cur
+  # Uniform increments: batch variance after 5 steps ~ 5 * d^2 / 3.
+  var = np.asarray(state.drift).var(axis=0).mean()
+  expected = 5 * d * d / 3.0
+  assert 0.4 * expected < var < 1.8 * expected
+
+
+def test_observation_reports_drifted_world():
+  state, _ = simulator_lib.reset(
+      jax.random.PRNGKey(2), LATTICE, config=DRIFT_CONFIG, batch_size=8
+  )
+  state, obs, _ = _step(state, jax.random.PRNGKey(3), DRIFT_CONFIG)
+  si_true = lattice_lib.site_position(
+      LATTICE, state.material.si_index, state.material.offset,
+      state.material.theta,
+  )
+  np.testing.assert_allclose(
+      np.asarray(obs.si_position_microscope),
+      np.asarray(state.fov.material_to_microscope(si_true + state.drift)),
+      atol=1e-5,
+  )
+
+
+def test_beam_drift_semantics():
+  """Relative aiming off the OBSERVED silicon cancels cumulative drift
+  (residual error = one per-step increment), while an ABSOLUTE aim in the
+  believed frame misses by the full cumulative drift."""
+
+  def run(drift_value, aim_observed):
+    state, _ = simulator_lib.reset(
+        jax.random.PRNGKey(4), LATTICE, config=DRIFT_CONFIG, batch_size=32
+    )
+    state = state.replace(
+        drift=jnp.full((32, 2), drift_value, jnp.float32)
+    )
+    # The prior-law rate maximum sits 0.85 A from the silicon toward a
+    # neighbor; aim there as observed (true + drift) or as an absolute
+    # believed-frame coordinate ignoring what the camera shows.
+    si_true = lattice_lib.site_position(
+        LATTICE, state.material.si_index, state.material.offset,
+        state.material.theta,
+    )
+    nbr_idx = LATTICE.neighbors[state.material.si_index][:, 0]
+    nbr_true = lattice_lib.site_position(
+        LATTICE, nbr_idx, state.material.offset, state.material.theta
+    )
+    unit = (nbr_true - si_true) / jnp.linalg.norm(
+        nbr_true - si_true, axis=-1, keepdims=True
+    )
+    target = si_true + 0.85 * unit
+    if aim_observed:
+      target = target + state.drift
+    aim = state.fov.material_to_microscope(target)
+    before = np.asarray(state.material.si_index).copy()
+    state, _, _ = _step(
+        state, jax.random.PRNGKey(5), DRIFT_CONFIG, dwell=60.0, position=aim
+    )
+    return (np.asarray(state.material.si_index) != before).mean()
+
+  # Relative-to-observation control: drift cancels (this is why the
+  # RelativeToSilicon adapter family stays usable under drift).
+  assert run(0.0, aim_observed=True) > 0.8
+  assert run(500.0, aim_observed=True) > 0.8
+  # Absolute believed-frame control: the beam lands 500 A off-lattice.
+  assert run(500.0, aim_observed=False) == 0.0
+
+
+def test_recenter_follows_observed_silicon():
+  state, _ = simulator_lib.reset(
+      jax.random.PRNGKey(6), LATTICE, config=DRIFT_CONFIG, batch_size=4
+  )
+  big = jnp.full((4, 2), 40.0, jnp.float32)  # way outside the safe area
+  state = state.replace(drift=big)
+  state, obs, _ = _step(state, jax.random.PRNGKey(7), DRIFT_CONFIG)
+  si_true = lattice_lib.site_position(
+      LATTICE, state.material.si_index, state.material.offset,
+      state.material.theta,
+  )
+  # The believed FOV recentered on the OBSERVED silicon, so the observed
+  # silicon sits at the center and the true one does not.
+  np.testing.assert_allclose(
+      np.asarray(state.fov.offset), np.asarray(si_true + state.drift),
+      atol=1e-4,
+  )
+  np.testing.assert_allclose(
+      np.asarray(obs.si_position_microscope), 0.5, atol=1e-4
+  )
+
+
+def test_env_goal_judged_in_true_frame_and_features_degrade():
+  """Env: goal delta in features is off by the cumulative drift, while the
+  reward/terminal check stays attached to the true sample."""
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE,
+      config=env_lib.EnvConfig(
+          sim=simulator_lib.SimulatorConfig(
+              grid_columns=20, drift_per_frame_angstroms=0.4
+          )
+      ),
+      batch_size=16,
+  )
+  state, ts = env.reset(jax.random.PRNGKey(8))
+  key = jax.random.PRNGKey(9)
+  for _ in range(4):
+    key, k_act, k_step = jax.random.split(key, 3)
+    action = jax.random.uniform(k_act, (16, 2), minval=-1.0, maxval=1.0)
+    state, ts = env.step(state, action, k_step)
+  drift = np.asarray(state.sim.drift)
+  active = ~np.asarray(state.needs_reset)
+  assert active.any()
+  assert np.abs(drift[active]).max() > 0.0
+
+  si_true = np.asarray(
+      lattice_lib.site_position(
+          LATTICE, state.sim.material.si_index, state.sim.material.offset,
+          state.sim.material.theta,
+      )
+  )
+  goal_delta_true = np.asarray(state.goal.position_material) - si_true
+  goal_delta_feat = np.asarray(ts.observation[..., 8:10])
+  # Feature goal delta = true delta - drift (the observed silicon sits at
+  # si_true + drift). Rows that auto-reset this step have zero drift.
+  np.testing.assert_allclose(
+      goal_delta_feat[active],
+      (goal_delta_true - drift)[active],
+      atol=1e-3,
+  )
+
+
+def test_env_default_config_unaffected():
+  """Smoke: the default (drift-free) env still runs and drift stays 0."""
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE,
+      config=env_lib.EnvConfig(sim=CONFIG),
+      batch_size=8,
+  )
+  state, ts = env.reset(jax.random.PRNGKey(10))
+  state, ts = env.step(
+      state, jnp.zeros((8, 2)), jax.random.PRNGKey(11)
+  )
+  np.testing.assert_array_equal(np.asarray(state.sim.drift), 0.0)
