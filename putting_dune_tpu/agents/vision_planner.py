@@ -358,11 +358,85 @@ def vision_planner_policy(
     (B, 2) actions in units of max_distance_angstroms.
   """
   del key
-  image = observation['image']
-  goal_delta = observation['goal_delta_angstroms']
-  batch = image.shape[0]
+  probs = jax.nn.softmax(detector_fn(observation['image']), axis=-1)
+  return vision_planner_policy_from_probs(
+      probs,
+      observation['goal_delta_angstroms'],
+      rate_fn=rate_fn,
+      dwell_seconds=dwell_seconds,
+      max_distance_angstroms=max_distance_angstroms,
+      candidates=candidates,
+  )
 
-  probs = jax.nn.softmax(detector_fn(image), axis=-1)
+
+def snap_to_honeycomb(
+    delta: jnp.ndarray, theta0: jnp.ndarray
+) -> jnp.ndarray:
+  """Snaps (B, 2) displacement vectors to the nearest honeycomb vector.
+
+  Site-to-site displacements in graphene are exactly
+  {m*a1 + n*a2} (same sublattice) or {m*a1 + n*a2 + b0} (opposite), with
+  b0 the bond vector at the silicon's detected bond orientation theta0
+  and a1/a2 the Bravais vectors built from the bond set. A goal vector
+  carrying sub-half-site noise (e.g. residual drift-correction error)
+  snaps back to the exact site displacement — which is what the
+  terminal check is judged on (goals.py: goal and silicon are both
+  lattice sites of the same pose).
+  """
+  def e(theta):
+    return jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+
+  b0 = BOND * e(theta0)  # (B, 2)
+  b1 = BOND * e(theta0 + 2.0 * jnp.pi / 3.0)
+  b2 = BOND * e(theta0 + 4.0 * jnp.pi / 3.0)
+  a1 = b0 - b1
+  a2 = b0 - b2
+  det = a1[..., 0] * a2[..., 1] - a1[..., 1] * a2[..., 0]  # (B,)
+
+  best = None
+  best_d2 = None
+  for sub in (0.0, 1.0):
+    g = delta - sub * b0
+    c1 = (a2[..., 1] * g[..., 0] - a2[..., 0] * g[..., 1]) / det
+    c2 = (-a1[..., 1] * g[..., 0] + a1[..., 0] * g[..., 1]) / det
+    f1 = jnp.floor(c1)
+    f2 = jnp.floor(c2)
+    for d1 in (0.0, 1.0):
+      for d2 in (0.0, 1.0):
+        cand = (
+            (f1 + d1)[..., None] * a1
+            + (f2 + d2)[..., None] * a2
+            + sub * b0
+        )
+        d2_ = jnp.sum(jnp.square(cand - delta), axis=-1)
+        if best is None:
+          best, best_d2 = cand, d2_
+        else:
+          take = d2_ < best_d2
+          best = jnp.where(take[..., None], cand, best)
+          best_d2 = jnp.minimum(best_d2, d2_)
+  return best
+
+
+def vision_planner_policy_from_probs(
+    probs: jnp.ndarray,
+    goal_delta: jnp.ndarray,
+    *,
+    rate_fn: rates_lib.RateFunction,
+    dwell_seconds: float,
+    max_distance_angstroms: float,
+    candidates: np.ndarray,
+    snap_goal_to_lattice: bool = False,
+) -> jnp.ndarray:
+  """Planner core over precomputed class-probability maps.
+
+  Split out so callers that already ran the detector (e.g. the in-loop
+  drift corrector, agents/drift_correction.py) can share one perception
+  pass per frame. probs: (B, S, S, 3) softmaxed segmentation maps;
+  goal_delta: (B, 2) angstroms. snap_goal_to_lattice snaps the goal
+  vector to the nearest exact site displacement (see snap_to_honeycomb).
+  """
+  batch = probs.shape[0]
   _, bond_px, theta0 = estimate_lattice_frame(
       probs[..., 2], probs[..., 1]
   )
@@ -375,6 +449,9 @@ def vision_planner_policy(
   deltas = BOND * jnp.stack(
       [jnp.cos(angles), jnp.sin(angles)], axis=-1
   )  # (B, 3, 2)
+
+  if snap_goal_to_lattice:
+    goal_delta = snap_to_honeycomb(goal_delta, theta0)
 
   single_obs = jnp.concatenate(
       [

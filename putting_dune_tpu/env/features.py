@@ -107,17 +107,29 @@ class SingleSiliconMaterialFrameFeatures:
 
 @dataclasses.dataclass(frozen=True)
 class ImageFeatures:
-  """{128x128x1 image, goal delta} dict features (reference :231-280)."""
+  """{128x128x1 image, goal delta} dict features (reference :231-280).
+
+  include_fov additionally exposes the instrument's BELIEVED field of view
+  ('fov_lower_left'/'fov_upper_right', material-frame angstroms) — the
+  microscope always knows its own scan settings (the reference's
+  MicroscopeObservation.fov, microscope_utils.py:538-604); in-loop drift
+  correctors need it to separate commanded FOV motion from stage drift.
+  """
 
   image_size: int = 128
+  include_fov: bool = False
   requires_image: bool = True
   requires_window: bool = False
 
   def spec(self) -> Dict[str, FeatureSpec]:
-    return {
+    spec = {
         'image': FeatureSpec((self.image_size, self.image_size, 1)),
         'goal_delta_angstroms': FeatureSpec((2,)),
     }
+    if self.include_fov:
+      spec['fov_lower_left'] = FeatureSpec((2,))
+      spec['fov_upper_right'] = FeatureSpec((2,))
+    return spec
 
   def __call__(
       self,
@@ -129,9 +141,13 @@ class ImageFeatures:
     image = obs.image
     if image.shape[-1] != self.image_size:
       image = render_lib.resize_bilinear(image, self.image_size)
-    return {
+    features = {
         'image': image[..., None].astype(jnp.float32),
         'goal_delta_angstroms': _goal_delta_angstroms(obs, goal).astype(
             jnp.float32
         ),
     }
+    if self.include_fov:
+      features['fov_lower_left'] = obs.fov.lower_left.astype(jnp.float32)
+      features['fov_upper_right'] = obs.fov.upper_right.astype(jnp.float32)
+    return features

@@ -137,6 +137,7 @@ def _policy_for_agent(agent, env):
   import jax
 
   from putting_dune_tpu.agents import agent_lib
+  from putting_dune_tpu.agents import drift_correction as drift_lib
   from putting_dune_tpu.agents import eval_agent as eval_agent_lib
   from putting_dune_tpu.agents import planner as planner_lib
   from putting_dune_tpu.agents import vision_planner as vision_planner_lib
@@ -145,7 +146,11 @@ def _policy_for_agent(agent, env):
     return agent.policy()
   if isinstance(
       agent,
-      (planner_lib.PlannerAgent, vision_planner_lib.VisionPlannerAgent),
+      (
+          planner_lib.PlannerAgent,
+          vision_planner_lib.VisionPlannerAgent,
+          drift_lib.DriftCorrectedVisionPlannerAgent,
+      ),
   ):
     return agent.policy()
   if isinstance(agent, agent_lib.GreedyAgent):

@@ -39,6 +39,27 @@ DEFAULT_TIMEOUT_SECONDS = 600.0
 Policy = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
 
 
+class StatefulPolicy:
+  """Protocol for policies that carry device state across steps.
+
+  Used by evaluate_batched for agents that need memory — e.g. the in-loop
+  drift corrector (agents/drift_correction.py) tracks a frame history.
+  Implementations provide:
+
+    init(example_obs) -> pstate         # pytree, leading batch dim
+    step(pstate, key, obs, first) -> (pstate, action)
+
+  `first` is the (B,) bool FIRST-step mask: rows that auto-reset this
+  step must re-initialize their slice of the carried state.
+  """
+
+  def init(self, example_obs):
+    raise NotImplementedError
+
+  def step(self, pstate, key, obs, first):
+    raise NotImplementedError
+
+
 # Evaluator provenance labels. The two evaluators have DIFFERENT timing
 # semantics and their aggregates must not be silently mixed:
 #   * 'batched': whole suite as one device batch; the 10-min budget applies
@@ -187,6 +208,9 @@ def evaluate_batched(
     )
 
   seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
+  stateful = isinstance(policy, StatefulPolicy) or (
+      hasattr(policy, 'init') and hasattr(policy, 'step')
+  )
 
   @jax.jit
   def rollout(seeds_arr):
@@ -212,6 +236,8 @@ def evaluate_batched(
         reward=jnp.zeros((batch,), jnp.float32),
         loop_i=jnp.asarray(0, jnp.int32),
     )
+    if stateful:
+      init['pstate'] = policy.init(ts.observation)
     if nvid:
       si0, off0, th0, goal0 = video_pose(state)
       d = si0.shape[-1]
@@ -229,7 +255,12 @@ def evaluate_batched(
 
     def body(c):
       key, k_policy, k_step = jax.random.split(c['key'], 3)
-      action = policy(k_policy, c['ts'].observation)
+      if stateful:
+        pstate, action = policy.step(
+            c['pstate'], k_policy, c['ts'].observation, c['ts'].first()
+        )
+      else:
+        action = policy(k_policy, c['ts'].observation)
       state, ts = env.step(c['state'], action, k_step)
       live = jnp.logical_not(c['done'])
 
@@ -259,6 +290,8 @@ def evaluate_batched(
           reward=reward,
           loop_i=c['loop_i'] + 1,
       )
+      if stateful:
+        out['pstate'] = pstate
       if nvid:
         i = c['loop_i'] + 1
         si_i, off_i, th_i, goal_i = video_pose(state)

@@ -25,10 +25,13 @@ class AdaptersAndGoal:
 
 @dataclasses.dataclass(frozen=True)
 class SimulatorSpec:
-  """Simulator composition: rate function + imaging clock."""
+  """Simulator composition: rate function + imaging clock (+ drift)."""
 
   rate_fn: rates_lib.RateFunction
   image_duration_seconds: float = 2.0
+  # Cumulative instrument drift, per-frame uniform increment in angstroms
+  # (simulator.SimulatorConfig.drift_per_frame_angstroms); 0 disables.
+  drift_per_frame_angstroms: float = 0.0
 
 
 AgentConstructor = Callable[[np.random.Generator, AdaptersAndGoal], Any]

@@ -111,6 +111,22 @@ def _get_vision_planner_agent(rng, adapters_and_goal, rate_fn=None):
   )
 
 
+def _get_drift_corrected_vision_planner_agent(rng, adapters_and_goal):
+  """Vision planner wrapped with in-loop phase-correlation drift
+  correction (agents/drift_correction.py) — the BASELINE stress-config
+  loop: drifting microscope -> pixels -> shipped UNet -> geometry ->
+  drift estimate -> rate-aware planner."""
+  del rng
+  from putting_dune_tpu.agents import drift_correction as dc
+
+  adapter = adapters_and_goal.action_adapter
+  return dc.DriftCorrectedVisionPlannerAgent(
+      rate_fn=rates_lib.simple_canonical_rates,
+      dwell_seconds=float(adapter.min_dwell_seconds),
+      max_distance_angstroms=float(adapter.max_distance_angstroms),
+  )
+
+
 def _load_shipped_rate_fn():
   """Loads the SHIPPED distilled neural rate model as a RateFunction.
 
@@ -231,6 +247,7 @@ class _SingleSiliconGoalReachingFromPixels:
   max_dwell_seconds: float = 1.5
   max_distance_angstroms: float = BOND
   image_size: int = 128
+  include_fov: bool = False
 
   def __call__(self) -> experiments.AdaptersAndGoal:
     return experiments.AdaptersAndGoal(
@@ -240,7 +257,7 @@ class _SingleSiliconGoalReachingFromPixels:
             max_distance_angstroms=self.max_distance_angstroms,
         ),
         feature_constructor=features_lib.ImageFeatures(
-            image_size=self.image_size
+            image_size=self.image_size, include_fov=self.include_fov
         ),
     )
 
@@ -264,6 +281,20 @@ def _get_simple_rates_config() -> experiments.SimulatorSpec:
 def _get_human_prior_rates_config() -> experiments.SimulatorSpec:
   return experiments.SimulatorSpec(
       rate_fn=rates_lib.prior_rates, image_duration_seconds=2.0
+  )
+
+
+def _get_simple_rates_drift_config() -> experiments.SimulatorSpec:
+  """Stress config: simple rates + cumulative instrument drift.
+
+  0.5 A per frame per axis keeps the worst-case per-step increment
+  (0.71 A diagonal) below half the graphene Bravais constant, so the
+  in-loop phase-correlation corrector's search window can exclude
+  lattice-alias peaks (agents/drift_correction.py)."""
+  return experiments.SimulatorSpec(
+      rate_fn=rates_lib.simple_canonical_rates,
+      image_duration_seconds=2.0,
+      drift_per_frame_angstroms=0.5,
   )
 
 
@@ -604,6 +635,33 @@ _EVAL_EXPERIMENTS = {
             image_size=256,
         ),
         get_simulator_config=_get_aligned_prior_rates_config,
+    ),
+    # BASELINE stress config: the same pixels-to-control loop on a
+    # DRIFTING microscope (1 A per frame, cumulative). Uncorrected, the
+    # recorded goal vector goes stale by the cumulative drift; the
+    # *_corrected variant estimates the drift in the loop (batched
+    # phase correlation vs the believed FOV motion) and repairs it.
+    'vision_planner_drift': experiments.EvalExperiment(
+        get_agent=_get_vision_planner_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+            min_dwell_seconds=5.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+            image_size=256,
+            include_fov=True,
+        ),
+        get_simulator_config=_get_simple_rates_drift_config,
+    ),
+    'vision_planner_drift_corrected': experiments.EvalExperiment(
+        get_agent=_get_drift_corrected_vision_planner_agent,
+        get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(
+            min_dwell_seconds=5.0,
+            max_dwell_seconds=5.0,
+            max_distance_angstroms=2 * BOND,
+            image_size=256,
+            include_fov=True,
+        ),
+        get_simulator_config=_get_simple_rates_drift_config,
     ),
 }
 

@@ -37,6 +37,7 @@ def create_batched_env(
   sim_config = simulator_lib.SimulatorConfig(
       grid_columns=grid_columns,
       image_duration_seconds=sim_spec.image_duration_seconds,
+      drift_per_frame_angstroms=sim_spec.drift_per_frame_angstroms,
       **({'image_size': image_size} if image_size else {}),
   )
   return env_lib.PuttingDuneEnv(
