@@ -248,6 +248,115 @@ class DriftCorrectedVisionPlannerPolicy(eval_lib.StatefulPolicy):
     return new_state, action
 
 
+class DriftCorrectedMultiDopantVisionPlannerPolicy(eval_lib.StatefulPolicy):
+  """D-dopant vision planner with in-loop drift correction.
+
+  Same structure as the single-dopant variant: one UNet pass per frame
+  feeds both the phase-correlation drift tracker (carbon map) and the
+  peak-based planner; the drift estimate repairs the LIVE goal deltas
+  (latched dopants read exactly zero and must stay zero), and the
+  anchor's de-drifted goal snaps to the honeycomb.
+  """
+
+  def __init__(
+      self,
+      *,
+      detector_fn,
+      rate_fn: rates_lib.RateFunction,
+      num_dopants: int,
+      dwell_seconds: float,
+      max_distance_angstroms: float,
+      candidates,
+      min_separation_px: float = 6.0,
+      max_increment_angstroms: float = 1.0,
+  ):
+    self._detector_fn = detector_fn
+    self._rate_fn = rate_fn
+    self._num_dopants = num_dopants
+    self._dwell_seconds = dwell_seconds
+    self._max_distance = max_distance_angstroms
+    self._candidates = candidates
+    self._min_separation_px = min_separation_px
+    self._tracker = DriftTracker(max_increment_angstroms)
+
+  def _probs(self, obs):
+    return jax.nn.softmax(self._detector_fn(obs['image']), axis=-1)
+
+  def init(self, example_obs):
+    pstate = self._tracker.init(
+        self._probs(example_obs)[..., 1], example_obs
+    )
+    # goal_delta is (B, D*2); track one (B, 2) drift vector.
+    pstate['drift'] = jnp.zeros(
+        (example_obs['goal_delta_angstroms'].shape[0], 2), jnp.float32
+    )
+    return pstate
+
+  def step(self, pstate, key, obs, first):
+    from putting_dune_tpu.agents import vision_planner as vp
+
+    del key
+    probs = self._probs(obs)
+    new_state = self._tracker.update(pstate, probs[..., 1], obs, first)
+    batch = probs.shape[0]
+    deltas = obs['goal_delta_angstroms'].reshape(
+        batch, self._num_dopants, 2
+    )
+    live = jnp.linalg.norm(deltas, axis=-1) > 1e-6  # pre-correction!
+    corrected = jnp.where(
+        live[..., None], deltas + new_state['drift'][:, None, :], 0.0
+    )
+    action = vp.multi_dopant_vision_planner_policy_from_probs(
+        probs,
+        corrected,
+        rate_fn=self._rate_fn,
+        num_dopants=self._num_dopants,
+        dwell_seconds=self._dwell_seconds,
+        max_distance_angstroms=self._max_distance,
+        candidates=self._candidates,
+        min_separation_px=self._min_separation_px,
+        live=live,
+        snap_goal_to_lattice=True,
+    )
+    return new_state, action
+
+
+@dataclasses.dataclass
+class DriftCorrectedMultiDopantVisionPlannerAgent:
+  """Registry agent: D-dopant vision planner + in-loop drift correction."""
+
+  rate_fn: rates_lib.RateFunction
+  num_dopants: int
+  dwell_seconds: float = 5.0
+  max_distance_angstroms: Optional[float] = None
+  weights_dir: Optional[str] = None
+  min_separation_px: float = 6.0
+  max_increment_angstroms: float = 1.0
+
+  def __post_init__(self):
+    from putting_dune_tpu.agents import planner as planner_lib
+    from putting_dune_tpu.agents import vision_planner as vp
+
+    self._detector_fn = vp.load_shipped_detector(self.weights_dir)
+    if self.max_distance_angstroms is None:
+      self.max_distance_angstroms = 2.0 * vp.BOND
+    self._candidates = planner_lib.make_candidate_offsets(
+        max_radius=self.max_distance_angstroms
+    )
+
+  def policy(self) -> DriftCorrectedMultiDopantVisionPlannerPolicy:
+    return DriftCorrectedMultiDopantVisionPlannerPolicy(
+        detector_fn=self._detector_fn,
+        rate_fn=self.rate_fn,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=self.max_distance_angstroms,
+        candidates=self._candidates,
+        min_separation_px=self.min_separation_px,
+        max_increment_angstroms=self.max_increment_angstroms,
+    )
+
+
 @dataclasses.dataclass
 class DriftCorrectedVisionPlannerAgent:
   """Registry agent: vision planner + in-loop drift correction.

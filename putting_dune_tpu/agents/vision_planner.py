@@ -271,8 +271,43 @@ def multi_dopant_vision_planner_policy(
   deltas = observation['goal_delta_angstroms'].reshape(
       batch, num_dopants, 2
   )
-
   probs = jax.nn.softmax(detector_fn(image), axis=-1)
+  return multi_dopant_vision_planner_policy_from_probs(
+      probs,
+      deltas,
+      rate_fn=rate_fn,
+      num_dopants=num_dopants,
+      dwell_seconds=dwell_seconds,
+      max_distance_angstroms=max_distance_angstroms,
+      candidates=candidates,
+      min_separation_px=min_separation_px,
+  )
+
+
+def multi_dopant_vision_planner_policy_from_probs(
+    probs: jnp.ndarray,
+    deltas: jnp.ndarray,
+    *,
+    rate_fn: rates_lib.RateFunction,
+    num_dopants: int,
+    dwell_seconds: float,
+    max_distance_angstroms: float,
+    candidates: np.ndarray,
+    min_separation_px: float = 6.0,
+    live=None,
+    snap_goal_to_lattice: bool = False,
+) -> jnp.ndarray:
+  """D-dopant planner core over precomputed class-probability maps.
+
+  Split out (like vision_planner_policy_from_probs) so in-loop drift
+  correctors can share one perception pass. deltas: (B, D, 2) goal
+  deltas in position order; `live` overrides the latched-dopant mask
+  (norm > 1e-6 by default — callers that ADD a drift correction to the
+  deltas must pass the mask computed from the UNCORRECTED deltas, since
+  latched entries read exactly zero); snap_goal_to_lattice snaps the
+  anchor's goal vector to the nearest exact site displacement.
+  """
+  batch = probs.shape[0]
   p_carbon, p_si = probs[..., 1], probs[..., 2]
 
   peaks = extract_peaks(p_si, num_dopants, min_separation_px)
@@ -281,7 +316,8 @@ def multi_dopant_vision_planner_policy(
   order = jnp.argsort(lex, axis=-1)
   peaks = jnp.take_along_axis(peaks, order[..., None], axis=1)
 
-  live = jnp.linalg.norm(deltas, axis=-1) > 1e-6  # (B, D)
+  if live is None:
+    live = jnp.linalg.norm(deltas, axis=-1) > 1e-6  # (B, D)
   pick = jnp.argmax(live, axis=-1)  # (B,) first unlatched, env's anchor
   anchor_px = jnp.take_along_axis(
       peaks, pick[:, None, None], axis=1
@@ -306,6 +342,9 @@ def multi_dopant_vision_planner_policy(
       r2 < jnp.square(0.5 * min_separation_px), p_si, 0.0
   )
   _, _, theta0 = estimate_lattice_frame(masked_si, p_carbon)
+
+  if snap_goal_to_lattice:
+    goal_delta = snap_to_honeycomb(goal_delta, theta0)
 
   angles = theta0[:, None] + jnp.asarray(
       [0.0, 2.0 * jnp.pi / 3.0, 4.0 * jnp.pi / 3.0]

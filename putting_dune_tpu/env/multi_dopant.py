@@ -50,6 +50,9 @@ class MultiDopantState(struct.PyTreeNode):
   steps: jnp.ndarray  # (B,) int32
   needs_reset: jnp.ndarray  # (B,) bool
   imaging: structures.ImagingParams  # per-episode render randomization
+  # (B, 2) cumulative instrument drift, material-frame angstroms (same
+  # semantics as structures.SimulatorState.drift); None == zero.
+  drift: jnp.ndarray | None = None
 
 
 def _initial_sites(
@@ -124,6 +127,17 @@ class MultiDopantEnv(struct.PyTreeNode):
   image_size: int = struct.field(pytree_node=False, default=128)
   window_capacity: int = struct.field(pytree_node=False, default=512)
   noisy_images: bool = struct.field(pytree_node=False, default=False)
+  # Instrument drift (BASELINE stress config 5: "large FOV multi-dopant
+  # lattice, long-horizon KMC with drift and full observation pipeline").
+  # Per-frame uniform increment, cumulative; observations report the
+  # drifted world, physics/goal checks stay in the true frame, the beam
+  # lands off-target by one increment (simulator.py drift semantics).
+  drift_per_frame_angstroms: float = struct.field(
+      pytree_node=False, default=0.0
+  )
+  # Expose the believed FOV in image observations (for in-loop drift
+  # correctors — the multi-dopant ImageFeatures(include_fov) analogue).
+  include_fov: bool = struct.field(pytree_node=False, default=False)
 
   # ---------------------------------------------------------------- specs
 
@@ -177,18 +191,27 @@ class MultiDopantEnv(struct.PyTreeNode):
   def _fov(self, state: MultiDopantState) -> structures.FieldOfView:
     return structures.FieldOfView(state.fov_lower, state.fov_upper)
 
-  def _atom_window(self, state: MultiDopantState) -> structures.AtomWindow:
+  def _atom_window(
+      self,
+      state: MultiDopantState,
+      fov: Optional[structures.FieldOfView] = None,
+  ) -> structures.AtomWindow:
     """Fixed-capacity FOV crop with D silicon dopants.
 
     The D=1 case matches simulator.atom_window (reference
     graphene.py:600-644); is_si is membership in the (B, D) dopant set.
+    `fov` overrides the state's believed FOV (the drifted-view render
+    passes the believed FOV shifted by -drift).
     """
+    if fov is None:
+      fov = self._fov(state)
+    fov_lower, fov_upper = fov.lower_left, fov.upper_right
     world = lattice_lib.world_positions(
         self.lattice, state.offset, state.theta
     )  # (B, N, 2)
     in_bounds = jnp.all(
-        (world >= state.fov_lower[:, None, :])
-        & (world <= state.fov_upper[:, None, :]),
+        (world >= fov_lower[:, None, :])
+        & (world <= fov_upper[:, None, :]),
         axis=-1,
     )
     n = self.lattice.num_atoms
@@ -201,9 +224,9 @@ class MultiDopantEnv(struct.PyTreeNode):
     positions_material = jnp.take_along_axis(
         world, indices[..., None], axis=-2
     )
-    extent = state.fov_upper - state.fov_lower
+    extent = fov_upper - fov_lower
     positions = (
-        positions_material - state.fov_lower[:, None, :]
+        positions_material - fov_lower[:, None, :]
     ) / extent[:, None, :]
     positions = jnp.where(mask[..., None], positions, 0.0)
 
@@ -244,7 +267,14 @@ class MultiDopantEnv(struct.PyTreeNode):
       self, state: MultiDopantState, key: Optional[jax.Array] = None
   ):
     si_raw = self._si_positions(state)
-    si, delta = si_raw, state.goals - si_raw
+    # The instrument OBSERVES the drifted world: all reported geometry is
+    # shifted by the cumulative drift while the recorded goals (believed
+    # frame, calibrated at reset) stay put — so goal deltas go stale by
+    # the drift, exactly like the single-dopant env.
+    si_obs = si_raw
+    if state.drift is not None:
+      si_obs = si_raw + state.drift[:, None, :]
+    si, delta = si_obs, state.goals - si_obs
     if self.sticky_goals:
       # Latched goals read as zero delta — "nothing left to do here".
       delta = jnp.where(state.latched[..., None], 0.0, delta)
@@ -257,18 +287,28 @@ class MultiDopantEnv(struct.PyTreeNode):
     if self.observation_mode == 'image':
       if key is None:
         raise ValueError('image observations require a PRNG key')
-      window = self._atom_window(state)
+      # Drifted view == the true lattice through the believed FOV shifted
+      # by -drift (simulator._observe).
+      fov = self._fov(state)
+      render_fov = fov
+      if state.drift is not None:
+        render_fov = fov.shift(-state.drift)
+      window = self._atom_window(state, fov=render_fov)
       image = imaging_render.render_stem_image(
           key,
           window,
-          self._fov(state),
+          render_fov,
           state.imaging,
           image_size=self.image_size,
       )
-      return {
+      obs = {
           'image': image[..., None],
           'goal_delta_angstroms': delta.reshape(self.batch_size, -1),
       }
+      if self.include_fov:
+        obs['fov_lower_left'] = fov.lower_left.astype(jnp.float32)
+        obs['fov_upper_right'] = fov.upper_right.astype(jnp.float32)
+      return obs
     vector = jnp.concatenate([si, delta], axis=-1).reshape(
         self.batch_size, -1
     )
@@ -320,6 +360,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         imaging=imaging_params.sample_imaging_params(
             k_imaging, b, noisy=self.noisy_images
         ),
+        drift=jnp.zeros((b, 2), jnp.float32),
     )
     si = self._si_positions(state)  # (B, D, 2)
 
@@ -378,11 +419,26 @@ class MultiDopantEnv(struct.PyTreeNode):
       key: jax.Array,
   ) -> Tuple[MultiDopantState, env_lib.TimeStep]:
     b = self.batch_size
-    k_kmc, k_reset, k_render = jax.random.split(key, 3)
+    # Drift advances once per step BEFORE the beam lands (the controller
+    # aimed with the previous frame): the beam misses by exactly one
+    # increment. Static branch keeps RNG bitwise-identical when off.
+    drift = state.drift
+    if self.drift_per_frame_angstroms > 0.0:
+      k_kmc, k_reset, k_render, k_drift = jax.random.split(key, 4)
+      dmax = self.drift_per_frame_angstroms
+      prev = drift if drift is not None else 0.0
+      drift = prev + jax.random.uniform(
+          k_drift, (b, 2), minval=-dmax, maxval=dmax
+      )
+    else:
+      k_kmc, k_reset, k_render = jax.random.split(key, 3)
     action = jnp.clip(action, -1.0, 1.0)
     if self.action_mode == 'relative':
-      # Beam offset from the first unlatched dopant (anchor_order rule).
+      # Beam offset from the OBSERVED first unlatched dopant (anchor_order
+      # rule); observed = true + drift at the last frame.
       si = self._si_positions(state)  # (B, D, 2)
+      if state.drift is not None:
+        si = si + state.drift[:, None, :]
       pick_d = self._anchor_index(state, si)  # (B,)
       anchor = si[jnp.arange(b), pick_d]  # (B, 2)
       beam = anchor + action * self.max_distance_angstroms
@@ -390,6 +446,9 @@ class MultiDopantEnv(struct.PyTreeNode):
       # Action [-1, 1]^2 -> beam position in the FOV (material frame).
       frac = (action + 1.0) / 2.0
       beam = state.fov_lower + frac * (state.fov_upper - state.fov_lower)
+    if drift is not None:
+      # Believed-frame coordinates sit at +drift from the true sample.
+      beam = beam - drift
 
     result = kmc.apply_control_multi(
         k_kmc,
@@ -405,7 +464,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         (b,), self.dwell_seconds + self.image_duration_seconds
     )
     new_state = state.replace(
-        si_indices=result.si_indices, steps=state.steps + 1
+        si_indices=result.si_indices, steps=state.steps + 1, drift=drift
     )
 
     si = self._si_positions(new_state)  # (B, D, 2)

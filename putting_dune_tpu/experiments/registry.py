@@ -720,6 +720,8 @@ def _make_multi_dopant_env(
     observation_mode: str = 'vector',
     anchor_order: str = 'index',
     image_size: int = 128,
+    drift_per_frame_angstroms: float = 0.0,
+    include_fov: bool = False,
 ):
   """Env factory matching the shipped multi_dopant_2 training settings
   (runs/train_multidopant.py: lattice 50, simple rates, 5 s dwell,
@@ -737,6 +739,8 @@ def _make_multi_dopant_env(
       observation_mode=observation_mode,
       anchor_order=anchor_order,
       image_size=image_size,
+      drift_per_frame_angstroms=drift_per_frame_angstroms,
+      include_fov=include_fov,
   )
 
 
@@ -773,6 +777,26 @@ class _MultiDopantVisionPlannerFactory:
     from putting_dune_tpu.agents import vision_planner as vp
 
     return vp.MultiDopantVisionPlannerAgent(
+        rate_fn=rates_lib.simple_canonical_rates,
+        num_dopants=self.num_dopants,
+        dwell_seconds=self.dwell_seconds,
+        max_distance_angstroms=2.0 * BOND,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class _MultiDopantDriftCorrectedVisionPlannerFactory:
+  """get_agent for the drift-corrected D-dopant vision planner (needs
+  'image' observations + anchor_order='position' + include_fov=True)."""
+
+  num_dopants: int
+  dwell_seconds: float = 5.0
+
+  def __call__(self, rng, adapters_and_goal):
+    del rng, adapters_and_goal
+    from putting_dune_tpu.agents import drift_correction as dc
+
+    return dc.DriftCorrectedMultiDopantVisionPlannerAgent(
         rate_fn=rates_lib.simple_canonical_rates,
         num_dopants=self.num_dopants,
         dwell_seconds=self.dwell_seconds,
@@ -868,6 +892,38 @@ _MULTI_DOPANT_EXPERIMENTS = {
         ),
         get_agent=_MultiDopantVisionPlannerFactory(num_dopants=3),
         num_dopants=3,
+    ),
+    # The FULL BASELINE stress config 5: multi-dopant lattice, long-
+    # horizon KMC, instrument drift, full image observation pipeline —
+    # uncorrected vs in-loop drift-corrected (phase correlation of
+    # detector maps + honeycomb goal snapping).
+    'multi_dopant_2_vision_planner_drift': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=2,
+            observation_mode='image',
+            anchor_order='position',
+            image_size=256,
+            drift_per_frame_angstroms=0.5,
+            include_fov=True,
+        ),
+        get_agent=_MultiDopantVisionPlannerFactory(num_dopants=2),
+        num_dopants=2,
+    ),
+    'multi_dopant_2_vision_planner_drift_corrected': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=2,
+            observation_mode='image',
+            anchor_order='position',
+            image_size=256,
+            drift_per_frame_angstroms=0.5,
+            include_fov=True,
+        ),
+        get_agent=_MultiDopantDriftCorrectedVisionPlannerFactory(
+            num_dopants=2
+        ),
+        num_dopants=2,
     ),
 }
 

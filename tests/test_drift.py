@@ -330,3 +330,97 @@ def test_learned_aligner_recovers_simulated_drift(tmp_path):
   inc_err = np.linalg.norm(inc_est - inc_true, axis=1)
   assert inc_err.mean() < 0.35
   assert err_aligned[-3:].mean() < 0.8 * err_nothing[-3:].mean()
+
+
+def test_multi_dopant_drift_semantics():
+  """D-dopant env: drift accumulates, observations report the drifted
+  world, goal checks stay in the true frame, and the default config keeps
+  drift at exactly zero."""
+  from putting_dune_tpu.env import multi_dopant
+
+  batch = 8
+  env = multi_dopant.MultiDopantEnv(
+      lattice=LATTICE,
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=batch,
+      num_dopants=2,
+      drift_per_frame_angstroms=0.5,
+  )
+  state, ts = env.reset(jax.random.PRNGKey(20))
+  np.testing.assert_array_equal(np.asarray(state.drift), 0.0)
+  key = jax.random.PRNGKey(21)
+  for _ in range(3):
+    key, k_act, k_step = jax.random.split(key, 3)
+    action = jax.random.uniform(k_act, (batch, 2), minval=-1.0, maxval=1.0)
+    state, ts = env.step(state, action, k_step)
+  drift = np.asarray(state.drift)
+  live_env = ~np.asarray(state.needs_reset) & (
+      np.asarray(state.steps) >= 3
+  )
+  assert np.abs(drift[live_env]).max() > 0.0
+  assert np.abs(drift).max() <= 3 * 0.5 + 1e-6
+
+  # Vector observation reports OBSERVED positions (true + drift) and goal
+  # deltas stale by the drift for unlatched dopants.
+  si_true = np.asarray(
+      lattice_lib.site_position(
+          LATTICE, state.si_indices, state.offset, state.theta
+      )
+  )  # (B, D, 2)
+  obs = np.asarray(ts.observation).reshape(batch, 2, 4)
+  unlatched = ~np.asarray(state.latched)
+  si_obs = obs[..., 0:2]
+  delta_obs = obs[..., 2:4]
+  sel = live_env[:, None] & unlatched
+  if sel.any():
+    np.testing.assert_allclose(
+        si_obs[sel], (si_true + drift[:, None, :])[sel], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        delta_obs[sel],
+        (np.asarray(state.goals) - si_true - drift[:, None, :])[sel],
+        atol=1e-3,
+    )
+
+  # Default config: drift stays exactly zero.
+  env0 = multi_dopant.MultiDopantEnv(
+      lattice=LATTICE,
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=4,
+      num_dopants=2,
+  )
+  s0, _ = env0.reset(jax.random.PRNGKey(22))
+  s0, _ = env0.step(
+      s0, jnp.zeros((4, 2)), jax.random.PRNGKey(23)
+  )
+  np.testing.assert_array_equal(np.asarray(s0.drift), 0.0)
+
+
+def test_multi_dopant_drift_corrected_registry_wiring():
+  """The stress-config registry experiments build, and the corrected
+  agent's stateful policy runs one init+step on device."""
+  from putting_dune_tpu.experiments import registry
+
+  for name in (
+      'multi_dopant_2_vision_planner_drift',
+      'multi_dopant_2_vision_planner_drift_corrected',
+  ):
+    exp = registry.create_multi_dopant_experiment(name)
+    env = exp.make_env(2, step_limit=5)
+    assert env.drift_per_frame_angstroms > 0.0
+    assert env.include_fov
+
+  exp = registry.create_multi_dopant_experiment(
+      'multi_dopant_2_vision_planner_drift_corrected'
+  )
+  env = exp.make_env(2, step_limit=5)
+  agent = exp.get_agent(None, None)
+  policy = agent.policy()
+  state, ts = env.reset(jax.random.PRNGKey(24))
+  assert 'fov_lower_left' in ts.observation
+  pstate = policy.init(ts.observation)
+  pstate, action = policy.step(
+      pstate, jax.random.PRNGKey(25), ts.observation, ts.first()
+  )
+  assert action.shape == (2, 2)
+  assert np.isfinite(np.asarray(action)).all()
