@@ -189,6 +189,52 @@ def bench_image_env_steps() -> float:
   return batch * steps / best
 
 
+def bench_stress_env_steps() -> float:
+  """BASELINE stress config 5: multi-dopant lattice + instrument drift +
+  full image observation pipeline, batched env steps/sec."""
+  from putting_dune_tpu.env import multi_dopant
+
+  batch = 256
+  steps = 32
+  env = multi_dopant.MultiDopantEnv(
+      lattice=lattice_lib.make_lattice(50),
+      rate_fn=rates_lib.simple_canonical_rates,
+      batch_size=batch,
+      num_dopants=2,
+      observation_mode='image',
+      image_size=128,
+      drift_per_frame_angstroms=0.5,
+  )
+
+  @jax.jit
+  def rollout(state, key):
+    def body(carry, _):
+      state, key = carry
+      key, k_act, k_step = jax.random.split(key, 3)
+      action = jax.random.uniform(
+          k_act, (batch, 2), minval=-1.0, maxval=1.0
+      )
+      state, ts = env.step(state, action, k_step)
+      return (state, key), jnp.sum(ts.observation['image'][:, 0, 0, 0])
+
+    (state, key), sums = jax.lax.scan(
+        body, (state, key), None, length=steps
+    )
+    return state, key, jnp.sum(sums)
+
+  state, _ = env.reset(jax.random.PRNGKey(11))
+  key = jax.random.PRNGKey(12)
+  state, key, chk = rollout(state, key)
+  float(chk)
+  best = float('inf')
+  for _ in range(3):
+    t0 = time.perf_counter()
+    state, key, chk = rollout(state, key)
+    float(chk)
+    best = min(best, time.perf_counter() - t0)
+  return batch * steps / best
+
+
 def main():
   # Frames are measured FIRST: the big env-rollout program leaves the
   # remote-TPU runtime in a state that degrades subsequent dispatch
@@ -201,6 +247,10 @@ def main():
     learned_sps = bench_env_steps_learned()
   except Exception:  # the headline bench must never die on an extra
     learned_sps = 0.0
+  try:
+    stress_sps = bench_stress_env_steps()
+  except Exception:
+    stress_sps = 0.0
   result = {
       'metric': 'env_steps_per_sec_1024envs',
       'value': round(env_sps, 1),
@@ -210,6 +260,9 @@ def main():
       'stem_frames_512_per_sec': round(frames512_ps, 1),
       'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
       'learned_rate_env_steps_per_sec_1024envs': round(learned_sps, 1),
+      'stress_multidopant_drift_image_env_steps_per_sec_256envs': round(
+          stress_sps, 1
+      ),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),
   }
