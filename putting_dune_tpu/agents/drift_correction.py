@@ -80,7 +80,10 @@ def estimate_content_shift_px(
 
   drow = wrap(idx[None, :, None] - expected_row_col[:, 0, None, None])
   dcol = wrap(idx[None, None, :] - expected_row_col[:, 1, None, None])
-  lim = max_residual_px[:, None, None]
+  # A window radius under ~1.5 px could contain NO pixel center for a
+  # fractional expectation (all scores -inf -> argmax returns garbage);
+  # clamp so at least the nearest integer shifts are always in play.
+  lim = jnp.maximum(max_residual_px, 1.5)[:, None, None]
   # CIRCULAR window: the graphene lattice makes phase correlation alias at
   # every Bravais translation (2.46 A); a box window's corners would admit
   # those aliases at rotations where both components fit. The window radius

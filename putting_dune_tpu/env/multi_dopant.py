@@ -157,7 +157,7 @@ class MultiDopantEnv(struct.PyTreeNode):
     from putting_dune_tpu.env import features as features_lib
 
     if self.observation_mode == 'image':
-      return {
+      spec = {
           'image': features_lib.FeatureSpec(
               shape=(self.image_size, self.image_size, 1)
           ),
@@ -165,6 +165,10 @@ class MultiDopantEnv(struct.PyTreeNode):
               shape=(self.num_dopants * 2,)
           ),
       }
+      if self.include_fov:
+        spec['fov_lower_left'] = features_lib.FeatureSpec(shape=(2,))
+        spec['fov_upper_right'] = features_lib.FeatureSpec(shape=(2,))
+      return spec
     return features_lib.FeatureSpec(shape=(self.observation_size(),))
 
   def shaping_distance(self, obs) -> jnp.ndarray:

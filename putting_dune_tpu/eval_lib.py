@@ -208,9 +208,7 @@ def evaluate_batched(
     )
 
   seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
-  stateful = isinstance(policy, StatefulPolicy) or (
-      hasattr(policy, 'init') and hasattr(policy, 'step')
-  )
+  stateful = isinstance(policy, StatefulPolicy)
 
   @jax.jit
   def rollout(seeds_arr):

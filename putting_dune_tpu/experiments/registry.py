@@ -637,7 +637,8 @@ _EVAL_EXPERIMENTS = {
         get_simulator_config=_get_aligned_prior_rates_config,
     ),
     # BASELINE stress config: the same pixels-to-control loop on a
-    # DRIFTING microscope (1 A per frame, cumulative). Uncorrected, the
+    # DRIFTING microscope (0.5 A per frame per axis, cumulative —
+    # _get_simple_rates_drift_config). Uncorrected, the
     # recorded goal vector goes stale by the cumulative drift; the
     # *_corrected variant estimates the drift in the loop (batched
     # phase correlation vs the believed FOV motion) and repairs it.
