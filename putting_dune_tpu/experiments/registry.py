@@ -439,6 +439,14 @@ _TRAIN_EXPERIMENTS = {
         get_adapters_and_goal=_SingleSiliconGoalReaching(),
         get_simulator_config=_get_human_prior_rates_config,
     ),
+    # Stress-config training: the same vector task on a drifting
+    # microscope (0.5 A/frame cumulative) — the goal vector goes stale
+    # over the episode, so the policy must learn drift-robust behavior
+    # (finish fast / re-acquire) without ever observing the drift.
+    'relative_simple_rates_drift': experiments.TrainExperiment(
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_simple_rates_drift_config,
+    ),
     'relative_simple_rates_from_images': experiments.TrainExperiment(
         get_adapters_and_goal=_SingleSiliconGoalReachingFromPixels(),
         get_simulator_config=_get_simple_rates_config,
@@ -522,6 +530,25 @@ _EVAL_EXPERIMENTS = {
         ),
         get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
         get_simulator_config=_get_simple_rates_config,
+    ),
+    # Vector-feature baselines under instrument drift: neighbor deltas are
+    # translation-invariant so only the recorded goal vector goes stale —
+    # the drop vs planner_simple_rates measures exactly that. ppo_simple
+    # _drift (below, when shipped) is the TRAINED-under-drift comparison.
+    'planner_simple_drift': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent, rate_fn=rates_lib.simple_canonical_rates
+        ),
+        get_adapters_and_goal=_GREEDY_MATERIAL_FRAME_5S(),
+        get_simulator_config=_get_simple_rates_drift_config,
+    ),
+    # Same adapters/features as its TRAIN experiment
+    # (relative_simple_rates_drift); compare against eval_ppo_simple's
+    # no-drift numbers, not planner_simple_drift (different dwell).
+    'ppo_simple_drift': experiments.EvalExperiment(
+        get_agent=PolicyCheckpointAgent('ppo_simple_drift'),
+        get_adapters_and_goal=_SingleSiliconGoalReaching(),
+        get_simulator_config=_get_simple_rates_drift_config,
     ),
     'planner_prior_rates': experiments.EvalExperiment(
         get_agent=functools.partial(
