@@ -587,6 +587,21 @@ _EVAL_EXPERIMENTS = {
         ),
         get_simulator_config=_get_human_prior_rates_config,
     ),
+    # Variable dwell UNDER DRIFT: drift accumulates per FRAME, so longer
+    # dwells buy more KMC progress per unit of accumulated drift — a
+    # physics-level mitigation that needs no vision (compare against
+    # planner_simple_drift's fixed 5 s dwell).
+    'planner_simple_drift_variable_time': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent, rate_fn=rates_lib.simple_canonical_rates
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingMaterialFrame(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=2 * BOND,
+        ),
+        get_simulator_config=_get_simple_rates_drift_config,
+    ),
     # The planner DISTILLED into a feed-forward MLP (agents/distill.py,
     # DAgger): planner-level control at the reference's TF-eval-agent
     # inference cost (one MLP apply per step, agents/tf_eval_agent.py:23-32).

@@ -424,3 +424,33 @@ def test_multi_dopant_drift_corrected_registry_wiring():
   )
   assert action.shape == (2, 2)
   assert np.isfinite(np.asarray(action)).all()
+
+
+def test_ppo_drift_checkpoint_reaches_goals():
+  """The drift-trained PPO checkpoint (when shipped) solves the drifting
+  task through the registry + batched evaluator."""
+  import os
+
+  import pytest
+
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  path = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'ppo_simple_drift'
+  )
+  if not os.path.isdir(path):
+    pytest.skip('ppo_simple_drift weights not shipped')
+  exp = registry.create_eval_experiment('ppo_simple_drift')
+  agent = exp.get_agent(np.random.default_rng(0), None)
+  seeds = list(range(20))
+  env = run_helpers.create_batched_env(
+      exp.get_adapters_and_goal,
+      exp.get_simulator_config,
+      batch_size=len(seeds),
+      step_limit=300,
+  )
+  results = eval_lib.evaluate_batched(env, agent.policy(), seeds)
+  agg = eval_lib.aggregate_results(results)
+  assert agg.average_num_times_reached_goal >= 0.5
