@@ -34,7 +34,8 @@ ENV_STEP_BASELINE = 1_000_000.0
 FRAMES_BASELINE = 50_000.0
 
 
-def bench_env_steps(rate_fn=rates_lib.prior_rates) -> float:
+def bench_env_steps(rate_fn=rates_lib.prior_rates, batch=None) -> float:
+  batch = batch or BATCH
   lattice = lattice_lib.make_lattice(50)
   env = env_lib.PuttingDuneEnv(
       lattice=lattice,
@@ -42,7 +43,7 @@ def bench_env_steps(rate_fn=rates_lib.prior_rates) -> float:
       adapter=action_adapters.RelativeToSiliconActionAdapter(),
       features=features_lib.SingleSiliconPristineGrapheneFeatures(),
       config=env_lib.EnvConfig(),
-      batch_size=BATCH,
+      batch_size=batch,
   )
 
   @jax.jit
@@ -51,7 +52,7 @@ def bench_env_steps(rate_fn=rates_lib.prior_rates) -> float:
       state, ts, key = carry
       key, k_act, k_step = jax.random.split(key, 3)
       action = jax.random.uniform(
-          k_act, (BATCH, 2), minval=-1.0, maxval=1.0
+          k_act, (batch, 2), minval=-1.0, maxval=1.0
       )
       state, ts = env.step(state, action, k_step)
       return (state, ts, key), ()
@@ -76,7 +77,7 @@ def bench_env_steps(rate_fn=rates_lib.prior_rates) -> float:
     state, ts, key, chk = rollout(state, ts, key)
     float(chk)  # host fetch: forces real completion
     best = min(best, time.perf_counter() - t0)
-  return BATCH * STEPS_PER_CALL / best
+  return batch * STEPS_PER_CALL / best
 
 
 def bench_frames(
@@ -251,6 +252,12 @@ def main():
     stress_sps = bench_stress_env_steps()
   except Exception:
     stress_sps = 0.0
+  try:
+    # BASELINE config 4 names 1024-4096 envs; scaling is sublinear-free
+    # (independent envs, no collectives) so bigger batches amortize more.
+    env4096_sps = bench_env_steps(batch=4096)
+  except Exception:
+    env4096_sps = 0.0
   result = {
       'metric': 'env_steps_per_sec_1024envs',
       'value': round(env_sps, 1),
@@ -263,6 +270,7 @@ def main():
       'stress_multidopant_drift_image_env_steps_per_sec_256envs': round(
           stress_sps, 1
       ),
+      'env_steps_per_sec_4096envs': round(env4096_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),
   }
