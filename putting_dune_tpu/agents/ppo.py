@@ -97,7 +97,8 @@ def _gaussian_logprob(mean, log_std, action):
 
 
 def make_train_fns(
-    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig()
+    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig(),
+    mesh=None,
 ):
   """Builds (init_carry, run_updates, module) for chunked PPO training.
 
@@ -107,6 +108,15 @@ def make_train_fns(
   chunk size to avoid recompiles). Chunking lets multi-hour runs save
   rolling checkpoints between device calls; make_train() wraps both into
   the single-call form.
+
+  mesh: optional jax.sharding.Mesh with a 'data' axis. The environment
+  batch (env state, timesteps, and therefore rollouts) is sharded over
+  it while params/optimizer state stay replicated — the same GSPMD
+  data-parallel pattern as the perception train loops
+  (atom_detection/train.py): rollouts are communication-free (envs are
+  independent), gradient/metric reductions ride ICI psums inserted by
+  the compiler, and the minibatch permutation's cross-device gathers are
+  handled by GSPMD.
   """
   action_dim = env.action_spec().shape[0]
   module = ActorCritic(
@@ -140,6 +150,14 @@ def make_train_fns(
       )
     opt_state = optimizer.init(params)
     env_state, ts = env.reset(k_reset)
+    if mesh is not None:
+      from putting_dune_tpu.parallel import mesh as mesh_lib
+
+      replicated = mesh_lib.replicated_sharding(mesh)
+      params = jax.device_put(params, replicated)
+      opt_state = jax.device_put(opt_state, replicated)
+      env_state = mesh_lib.shard_batch(env_state, mesh)
+      ts = mesh_lib.shard_batch(ts, mesh)
     return (params, opt_state, env_state, ts, key)
 
   def run_updates(carry, num_updates: int):
@@ -299,16 +317,18 @@ def make_train_fns(
 
 
 def make_train(
-    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig()
+    env: env_lib.PuttingDuneEnv, config: PPOConfig = PPOConfig(),
+    mesh=None,
 ):
   """Builds a jitted PPO train function for the given batched env.
 
   Returns train(key) -> (params, metrics) where metrics hold per-update
   mean episode returns and losses. The entire optimization — rollouts, GAE
   with the env's per-step simulated-time discounts, minibatched clipped
-  updates — is ONE jitted lax.scan program.
+  updates — is ONE jitted lax.scan program. With a mesh, the env batch is
+  data-parallel over its 'data' axis (see make_train_fns).
   """
-  init_carry, run_updates, module = make_train_fns(env, config)
+  init_carry, run_updates, module = make_train_fns(env, config, mesh=mesh)
 
   @jax.jit
   def train(key: jax.Array):
@@ -316,6 +336,64 @@ def make_train(
     return carry[0], metrics
 
   return train, module
+
+
+def dryrun_mesh_training_step(devices) -> None:
+  """Proves the data-parallel PPO path on an explicit device mesh.
+
+  Called by __graft_entry__.dryrun_multichip: builds a tiny env whose
+  batch is sharded over the 'data' axis, runs two PPO updates, and
+  asserts params stayed replicated while the env state stayed sharded.
+  """
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu.parallel import mesh as mesh_lib
+
+  n = len(devices)
+  mesh = mesh_lib.make_mesh(
+      axis_sizes=(n,), axis_names=('data',), devices=devices
+  )
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(10), batch_size=4 * n
+  )
+  config = PPOConfig(
+      num_updates=2, rollout_length=4, num_minibatches=2,
+      num_epochs=1, hidden=(16,),
+  )
+  init_carry, run_updates, _ = make_train_fns(env, config, mesh=mesh)
+  carry0 = init_carry(jax.random.PRNGKey(0))
+  # Pin the carry's sharding contract at the jit boundary: with dryrun-
+  # sized arrays XLA would otherwise legally replicate the tiny env state
+  # on output (at production sizes sharding wins on its own).
+  rep = mesh_lib.replicated_sharding(mesh)
+  bsh = mesh_lib.batch_sharding(mesh)
+
+  def like(tree, sharding):
+    return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+  carry_shardings = (
+      like(carry0[0], rep),  # params
+      like(carry0[1], rep),  # optimizer state
+      like(carry0[2], bsh),  # env state: batch-sharded
+      like(carry0[3], bsh),  # timestep: batch-sharded
+      rep,  # PRNG key
+  )
+  fn = jax.jit(
+      run_updates,
+      static_argnums=(1,),
+      out_shardings=(carry_shardings, None),
+  )
+  carry, metrics = fn(carry0, 2)
+  params, env_state = carry[0], carry[2]
+  jax.block_until_ready(params)
+  leaf = jax.tree_util.tree_leaves(params)[0]
+  assert leaf.sharding.is_fully_replicated, 'PPO params must replicate'
+  state_leaf = env_state.sim.material.offset
+  assert (
+      not state_leaf.sharding.is_fully_replicated or n == 1
+  ), 'PPO env batch must stay data-sharded'
+  loss = float(jnp.asarray(metrics['loss'])[-1])
+  assert jnp.isfinite(loss), 'PPO mesh step loss not finite'
+  print(f'dryrun PPO data-parallel step OK on {n} devices (loss={loss:.4f})')
 
 
 def as_eval_agent(params, env: env_lib.PuttingDuneEnv, config: PPOConfig):

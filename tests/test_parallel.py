@@ -99,3 +99,35 @@ def test_perception_loops_use_local_batch_and_global_assembly(mesh, tmp_path):
   )
   state = det_train.train(config, mesh=mesh)
   assert state.step == 2
+
+
+def test_ppo_mesh_training_matches_single_controller(mesh):
+  """Data-parallel PPO (env batch sharded over 'data', replicated params)
+  produces the same losses as the unsharded single-controller path —
+  sharding is a placement decision, not a semantic one."""
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu.agents import ppo
+  from putting_dune_tpu.env import env as env_lib
+
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(10), batch_size=16
+  )
+  config = ppo.PPOConfig(
+      num_updates=3, rollout_length=4, num_minibatches=2,
+      num_epochs=1, hidden=(16,),
+  )
+
+  losses = []
+  for m in (None, mesh):
+    init_carry, run_updates, _ = ppo.make_train_fns(env, config, mesh=m)
+    carry, metrics = jax.jit(run_updates, static_argnums=(1,))(
+        init_carry(jax.random.PRNGKey(3)), 3
+    )
+    losses.append(np.asarray(metrics['loss']))
+  np.testing.assert_allclose(losses[0], losses[1], rtol=2e-4, atol=1e-6)
+
+
+def test_ppo_dryrun_mesh_training_step(mesh):
+  from putting_dune_tpu.agents import ppo
+
+  ppo.dryrun_mesh_training_step(list(mesh.devices.flat))
