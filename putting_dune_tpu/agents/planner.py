@@ -77,6 +77,8 @@ def planner_policy(
     lookahead_discount: float = 0.0,
     dwell_grid_seconds: Optional[np.ndarray] = None,
     image_duration_seconds: float = 2.0,
+    dwell_objective: str = 'per_second',
+    overshoot_penalty_angstroms: float = 0.71,
 ) -> jnp.ndarray:
   """Batched pure planner policy over 10-dim material-frame features.
 
@@ -99,6 +101,16 @@ def planner_policy(
       of [grid_min, grid_max], matching the variable-dwell adapters
       (action_adapters._dwell_from_action).
     image_duration_seconds: per-action imaging time added to the clock.
+    dwell_objective: 'per_second' (default) divides expected progress by
+      dwell + image time — best when the terminal reward's gamma**elapsed
+      clock is the scarce resource. 'per_frame' maximizes net progress
+      per ACTION instead: under instrument drift every frame costs one
+      drift increment regardless of dwell, so long decisive dwells beat
+      many short ones. Overshoot is charged explicitly: extra transitions
+      beyond the first during a dwell are Poisson, E[extra] = R*T - P(any
+      transition), each costing ~overshoot_penalty_angstroms of progress.
+    overshoot_penalty_angstroms: expected progress lost per unwanted
+      post-first transition ('per_frame' only); ~half a bond by default.
 
   Returns:
     (B, 2) material-frame actions (beam deltas from the silicon,
@@ -180,9 +192,18 @@ def planner_policy(
   expected_progress = (
       jnp.sum(frac * value[:, None, :], axis=-1)[..., None] * p_any
   )  # (B, K, D)
-  rate_score = expected_progress / (
-      dwells[None, None, :] + image_duration_seconds
-  )  # angstroms per simulated second
+  if dwell_objective == 'per_frame':
+    # Net progress per action: expected first-transition progress minus
+    # the expected cost of extra (post-first) transitions, which for a
+    # Poisson(R*T) count is R*T - P(N >= 1).
+    extra_hops = total[..., None] * dwells[None, None, :] - p_any
+    rate_score = (
+        expected_progress - overshoot_penalty_angstroms * extra_hops
+    )
+  else:
+    rate_score = expected_progress / (
+        dwells[None, None, :] + image_duration_seconds
+    )  # angstroms per simulated second
   flat = rate_score.reshape(batch, -1)
   best = jnp.argmax(flat, axis=-1)
   best_k, best_d = best // dwells.shape[0], best % dwells.shape[0]
@@ -301,6 +322,7 @@ class PlannerAgent(agent_lib.Agent):
   dwell_range_seconds: Optional[tuple] = None
   num_dwells: int = 8
   image_duration_seconds: float = 2.0
+  dwell_objective: str = 'per_second'
 
   def __post_init__(self):
     self._candidates = make_candidate_offsets(
@@ -322,6 +344,7 @@ class PlannerAgent(agent_lib.Agent):
             lookahead_discount=self.lookahead_discount,
             dwell_grid_seconds=self._dwell_grid,
             image_duration_seconds=self.image_duration_seconds,
+            dwell_objective=self.dwell_objective,
         )
     )
 
@@ -345,4 +368,5 @@ class PlannerAgent(agent_lib.Agent):
         lookahead_discount=self.lookahead_discount,
         dwell_grid_seconds=self._dwell_grid,
         image_duration_seconds=self.image_duration_seconds,
+        dwell_objective=self.dwell_objective,
     )

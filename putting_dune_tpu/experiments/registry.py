@@ -64,6 +64,7 @@ def _get_planner_agent(
     adapters_and_goal,
     rate_fn=None,
     lookahead_discount: float = 0.0,
+    dwell_objective: str = 'per_second',
 ):
   """Rate-aware planning controller (beyond-parity; agents/planner.py).
 
@@ -88,6 +89,7 @@ def _get_planner_agent(
       dwell_seconds=float(adapter.min_dwell_seconds),
       lookahead_discount=lookahead_discount,
       dwell_range_seconds=dwell_range,
+      dwell_objective=dwell_objective,
   )
 
 
@@ -594,6 +596,23 @@ _EVAL_EXPERIMENTS = {
     'planner_simple_drift_variable_time': experiments.EvalExperiment(
         get_agent=functools.partial(
             _get_planner_agent, rate_fn=rates_lib.simple_canonical_rates
+        ),
+        get_adapters_and_goal=_SingleSiliconGoalReachingMaterialFrame(
+            min_dwell_seconds=1.5,
+            max_dwell_seconds=20.0,
+            max_distance_angstroms=2 * BOND,
+        ),
+        get_simulator_config=_get_simple_rates_drift_config,
+    ),
+    # The drift-aware dwell objective: progress per FRAME (each frame
+    # costs one drift increment regardless of dwell), with an explicit
+    # Poisson overshoot penalty for post-first transitions — fixes the
+    # per-second objective's preference for short dwells under drift.
+    'planner_simple_drift_frame_dwell': experiments.EvalExperiment(
+        get_agent=functools.partial(
+            _get_planner_agent,
+            rate_fn=rates_lib.simple_canonical_rates,
+            dwell_objective='per_frame',
         ),
         get_adapters_and_goal=_SingleSiliconGoalReachingMaterialFrame(
             min_dwell_seconds=1.5,

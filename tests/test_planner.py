@@ -275,3 +275,42 @@ def test_planner_agent_host_step():
   action = agent.step(ts)
   assert action.shape == (2,)
   assert np.linalg.norm(action) <= 3.3
+
+
+def test_per_frame_dwell_objective_prefers_longer_dwells():
+  """Under the per-frame objective (drift stress: each frame costs one
+  drift increment) the chosen dwell is at least as long as under the
+  per-second objective, and overshoot still bounds it below the max when
+  rates are strong."""
+  obs, _ = _canonical_observation(np.deg2rad(90.0))
+  grid = np.linspace(1.5, 20.0, 8, dtype=np.float32)
+
+  per_second = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+  )
+  per_frame = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+      dwell_objective='per_frame',
+  )
+  assert float(per_frame[0, 2]) >= float(per_second[0, 2])
+
+  # With heavy overshoot penalty the per-frame dwell shortens again —
+  # the Poisson extra-hop term really gates it.
+  heavy = planner_lib.planner_policy(
+      None,
+      obs,
+      rate_fn=rates_lib.simple_canonical_rates,
+      candidates=planner_lib.make_candidate_offsets(),
+      dwell_grid_seconds=grid,
+      dwell_objective='per_frame',
+      overshoot_penalty_angstroms=50.0,
+  )
+  assert float(heavy[0, 2]) <= float(per_frame[0, 2])
