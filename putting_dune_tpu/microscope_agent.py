@@ -284,3 +284,126 @@ class MicroscopeAgentLogger:
         writer.writeheader()
         for row in rows:
           writer.writerow(dataclasses.asdict(row))
+
+
+# --- hardware-loop rehearsal rig ---------------------------------------------
+
+
+class SimulatedMicroscope:
+  """The drifting device simulator behind the host interface a real STEM
+  exposes to MicroscopeAgent.
+
+  Inverted control, like hardware: reset()/apply(controls) hand back
+  md.MicroscopeObservation objects built from what the instrument would
+  MEASURE — the drifted view's atoms in the believed FOV's microscope
+  frame, plus the rendered frame when image_size is set. Lets the
+  production composition (MicroscopeAgent + learned ImageAligner drift
+  correction) be rehearsed end-to-end against known ground truth before
+  touching hardware; truth accessors expose the sample-frame state the
+  real instrument can never see.
+  """
+
+  def __init__(
+      self,
+      *,
+      seed: int = 0,
+      grid_columns: int = 50,
+      drift_per_frame_angstroms: float = 0.0,
+      image_size: Optional[int] = None,
+      rate_fn=None,
+  ):
+    import jax
+
+    from putting_dune_tpu import lattice as lattice_lib
+    from putting_dune_tpu import rates as rates_lib
+    from putting_dune_tpu import simulator as simulator_lib
+
+    self._jax = jax
+    self._simulator = simulator_lib
+    self._lattice_lib = lattice_lib
+    self._lattice = lattice_lib.make_lattice(grid_columns)
+    self._config = simulator_lib.SimulatorConfig(
+        grid_columns=grid_columns,
+        image_size=image_size or 128,
+        drift_per_frame_angstroms=drift_per_frame_angstroms,
+    )
+    self._with_image = image_size is not None
+    self._rate_fn = rate_fn or rates_lib.simple_canonical_rates
+    self._key = jax.random.PRNGKey(seed)
+
+  def _split(self):
+    self._key, k = self._jax.random.split(self._key)
+    return k
+
+  def _host_observation(self, obs) -> md.MicroscopeObservation:
+    window = obs.window
+    mask = np.asarray(window.mask[0])
+    positions = np.asarray(window.positions[0])[mask]
+    numbers = np.asarray(window.atomic_numbers[0])[mask]
+    image = None
+    if self._with_image:
+      image = np.asarray(obs.image)[0]
+    return md.MicroscopeObservation(
+        grid=md.AtomicGrid(positions, numbers),
+        fov=md.MicroscopeFieldOfView(
+            np.asarray(obs.fov.lower_left[0]).copy(),
+            np.asarray(obs.fov.upper_right[0]).copy(),
+        ),
+        controls=(),
+        elapsed_time=dt.timedelta(seconds=float(obs.elapsed_seconds[0])),
+        image=image,
+    )
+
+  def reset(self) -> md.MicroscopeObservation:
+    self._state, obs = self._simulator.reset(
+        self._split(),
+        self._lattice,
+        config=self._config,
+        batch_size=1,
+        return_window=True,
+        return_image=self._with_image,
+    )
+    return self._host_observation(obs)
+
+  def apply(
+      self, controls: List[md.BeamControl]
+  ) -> md.MicroscopeObservation:
+    """Applies the first control (one beam) and re-images."""
+    import jax.numpy as jnp
+
+    from putting_dune_tpu import structures
+
+    control = controls[0]
+    device_control = structures.BeamControl(
+        position=jnp.asarray(
+            np.asarray(control.position, np.float32).reshape(1, 2)
+        ),
+        dwell_seconds=jnp.asarray(
+            [control.dwell_time.total_seconds()], jnp.float32
+        ),
+    )
+    self._state, obs, _ = self._simulator.step(
+        self._state,
+        self._split(),
+        device_control,
+        self._lattice,
+        self._rate_fn,
+        config=self._config,
+        return_window=True,
+        return_image=self._with_image,
+    )
+    return self._host_observation(obs)
+
+  # Ground truth the real instrument can never see (rehearsal metrics).
+
+  def true_silicon_position(self) -> np.ndarray:
+    material = self._state.material
+    return np.asarray(
+        self._lattice_lib.site_position(
+            self._lattice, material.si_index, material.offset,
+            material.theta,
+        )
+    )[0]
+
+  def true_drift(self) -> np.ndarray:
+    return np.asarray(self._state.drift)[0]

@@ -454,3 +454,86 @@ def test_ppo_drift_checkpoint_reaches_goals():
   results = eval_lib.evaluate_batched(env, agent.policy(), seeds)
   agg = eval_lib.aggregate_results(results)
   assert agg.average_num_times_reached_goal >= 0.5
+
+
+def test_hardware_loop_rehearsal_with_aligner_under_drift(tmp_path):
+  """The production composition, rehearsed end-to-end: MicroscopeAgent
+  (inverted control) drives a DRIFTING SimulatedMicroscope; the shipped
+  learned ImageAligner corrects the FOV claims in the loop. With
+  correction the true silicon converges to the original goal site; the
+  uncorrected loop chases a goal vector stale by the cumulative drift."""
+  import os
+
+  import pytest
+
+  from putting_dune_tpu import microscope_agent as ma
+  from putting_dune_tpu import microscope_data as md
+  from putting_dune_tpu.experiments import registry
+  from putting_dune_tpu.image_alignment import inference as aligner_lib
+
+  weights = os.path.join(
+      os.path.dirname(registry.__file__), 'model_weights', 'image_aligner'
+  )
+  if not os.path.isdir(weights):
+    pytest.skip('image_aligner weights not shipped')
+  if not os.path.exists(os.path.join(weights, 'LABELS_CUMULATIVE')):
+    pytest.skip('shipped aligner predates the cumulative-drift labels')
+
+  def run(correct: bool) -> float:
+    mic = ma.SimulatedMicroscope(
+        seed=5,
+        grid_columns=50,
+        drift_per_frame_angstroms=0.5,
+        image_size=128,
+    )
+    experiment = registry.create_microscope_experiment('greedy_on_neighbor')
+    rng = np.random.default_rng(3)
+    agent = ma.MicroscopeAgent(rng, experiment)
+    obs = mic.reset()
+    agent.reset(rng, obs)
+    # Captured at reset, where drift == 0: believed == true frame.
+    goal = agent.goal.goal_position_material_frame.copy()
+
+    aligner = None
+    cumulative = np.zeros(2)
+    if correct:
+      aligner = aligner_lib.ImageAligner.from_checkpoint(weights)
+      aligner.reset()
+
+    closest = np.inf
+    for _ in range(35):
+      if correct:
+        claim = obs.fov.shift(-cumulative)
+        _, new_shift, _ = aligner(obs.image, claim)
+        cumulative = cumulative - new_shift
+        fixed_fov = obs.fov.shift(-cumulative)
+        aligner.amend_last_fov(fixed_fov)
+        aligner.refine_history_claims()
+        agent_obs = md.MicroscopeObservation(
+            grid=obs.grid,
+            fov=fixed_fov,
+            controls=obs.controls,
+            elapsed_time=obs.elapsed_time,
+        )
+      else:
+        agent_obs = obs
+      controls = agent.step(agent_obs)
+      obs = mic.apply(controls)
+      closest = min(
+          closest,
+          float(np.linalg.norm(mic.true_silicon_position() - goal)),
+      )
+    final = float(np.linalg.norm(mic.true_silicon_position() - goal))
+    return closest, final
+
+  corrected_min, corrected_final = run(True)
+  uncorrected_min, uncorrected_final = run(False)
+  # Corrected: the true silicon actually REACHES the goal site (the
+  # greedy agent keeps acting afterwards, so the final pose may sit one
+  # KMC hop away).
+  assert corrected_min < 0.72, (corrected_min, corrected_final)
+  assert corrected_final < 2.0
+  # Uncorrected: the loop converges a cumulative-drift away from it.
+  assert uncorrected_final > corrected_final + 1.0, (
+      corrected_final, uncorrected_final,
+  )
