@@ -905,6 +905,26 @@ _MULTI_DOPANT_EXPERIMENTS = {
         get_agent=_MultiDopantPlannerFactory(num_dopants=3),
         num_dopants=3,
     ),
+    # D-scaling: the same zero-training planner at FOUR dopants (the
+    # initial-site ring and per-dopant distinct-goal sampling scale with
+    # D; nothing else changes).
+    'multi_dopant_4_planner': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=4,
+            observation_mode='vector_neighbors',
+        ),
+        get_agent=_MultiDopantPlannerFactory(num_dopants=4),
+        num_dopants=4,
+    ),
+    'multi_dopant_4_random': MultiDopantExperiment(
+        make_env=functools.partial(
+            _make_multi_dopant_env,
+            num_dopants=4,
+            observation_mode='vector_neighbors',
+        ),
+        num_dopants=4,
+    ),
     # The multi-dopant planner DAgger-distilled into MLPs
     # (runs/distill_multidopant.py): planner-grade control at the PPO
     # checkpoints' inference cost, over the same 'vector_neighbors'
