@@ -119,6 +119,11 @@ def planner_policy(
     set.
   """
   del key
+  if dwell_objective not in ('per_second', 'per_frame'):
+    raise ValueError(
+        f"dwell_objective must be 'per_second' or 'per_frame', got"
+        f' {dwell_objective!r}'
+    )
   batch = observation.shape[0]
   si = observation[:, 0:2]
   neighbor_deltas = observation[:, 2:8].reshape(batch, 3, 2)

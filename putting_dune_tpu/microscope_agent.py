@@ -335,7 +335,9 @@ class SimulatedMicroscope:
     self._key, k = self._jax.random.split(self._key)
     return k
 
-  def _host_observation(self, obs) -> md.MicroscopeObservation:
+  def _host_observation(
+      self, obs, controls: Tuple[md.BeamControl, ...] = ()
+  ) -> md.MicroscopeObservation:
     window = obs.window
     mask = np.asarray(window.mask[0])
     positions = np.asarray(window.positions[0])[mask]
@@ -349,7 +351,10 @@ class SimulatedMicroscope:
             np.asarray(obs.fov.lower_left[0]).copy(),
             np.asarray(obs.fov.upper_right[0]).copy(),
         ),
-        controls=(),
+        # The applied controls ride along in the post-step observation
+        # (reference simulator.py:230-250 semantics) so the recorded
+        # trajectory feeds trajectories_to_transitions -> train_rate_learner.
+        controls=controls,
         elapsed_time=dt.timedelta(seconds=float(obs.elapsed_seconds[0])),
         image=image,
     )
@@ -373,6 +378,12 @@ class SimulatedMicroscope:
 
     from putting_dune_tpu import structures
 
+    if not hasattr(self, '_state'):
+      raise RuntimeError(
+          'SimulatedMicroscope.apply() called before reset(); the'
+          ' instrument must be reset first (reference simulator'
+          ' _assert_has_been_reset semantics).'
+      )
     control = controls[0]
     device_control = structures.BeamControl(
         position=jnp.asarray(
@@ -392,7 +403,7 @@ class SimulatedMicroscope:
         return_window=True,
         return_image=self._with_image,
     )
-    return self._host_observation(obs)
+    return self._host_observation(obs, controls=(control,))
 
   # Ground truth the real instrument can never see (rehearsal metrics).
 

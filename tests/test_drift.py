@@ -537,3 +537,31 @@ def test_hardware_loop_rehearsal_with_aligner_under_drift(tmp_path):
   assert uncorrected_final > corrected_final + 1.0, (
       corrected_final, uncorrected_final,
   )
+
+
+def test_simulated_microscope_host_interface_contract():
+  """The rehearsal rig honors the host-interface contract the reference
+  simulator defines (simulator.py:224-250): apply() before reset()
+  raises, and the post-step observation carries the applied controls so
+  recorded trajectories feed trajectories_to_transitions ->
+  train_rate_learner (which drops controls-free transitions)."""
+  import datetime as dt
+
+  import pytest
+
+  from putting_dune_tpu import microscope_agent as ma
+  from putting_dune_tpu import microscope_data as md
+
+  mic = ma.SimulatedMicroscope(seed=0, grid_columns=20)
+  control = md.BeamControl(
+      position=np.array([0.5, 0.5]),
+      dwell_time=dt.timedelta(seconds=1.5),
+  )
+  with pytest.raises(RuntimeError, match='reset'):
+    mic.apply([control])
+
+  obs = mic.reset()
+  assert obs.controls == ()
+  obs = mic.apply([control])
+  assert len(obs.controls) == 1
+  assert obs.controls[0] is control
