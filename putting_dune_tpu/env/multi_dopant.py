@@ -138,6 +138,12 @@ class MultiDopantEnv(struct.PyTreeNode):
   # Expose the believed FOV in image observations (for in-loop drift
   # correctors — the multi-dopant ImageFeatures(include_fov) analogue).
   include_fov: bool = struct.field(pytree_node=False, default=False)
+  # Per-env safety cap on KMC events per step (kmc.apply_control_multi
+  # max_events; same semantics as SimulatorConfig.max_kmc_events_per_step):
+  # bounds the batched while-loop against adversarial learned rate fns.
+  max_kmc_events_per_step: Optional[int] = struct.field(
+      pytree_node=False, default=10_000
+  )
 
   # ---------------------------------------------------------------- specs
 
@@ -463,6 +469,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         beam,
         jnp.full((b,), self.dwell_seconds),
         self.rate_fn,
+        max_events=self.max_kmc_events_per_step,
     )
     elapsed = jnp.full(
         (b,), self.dwell_seconds + self.image_duration_seconds

@@ -76,6 +76,24 @@ def main(args: Args) -> 'object':
   return _report(args, results)
 
 
+def _display(value):
+  """NaN timing fields (e.g. batched agent wall-clock) render as 'n/a'."""
+  if isinstance(value, float) and np.isnan(value):
+    return 'n/a'
+  return value
+
+
+def _json_safe(obj):
+  """Replaces NaN floats with None so the payload is strict JSON."""
+  if isinstance(obj, dict):
+    return {k: _json_safe(v) for k, v in obj.items()}
+  if isinstance(obj, (list, tuple)):
+    return [_json_safe(v) for v in obj]
+  if isinstance(obj, float) and np.isnan(obj):
+    return None
+  return obj
+
+
 def _report(args: Args, results):
   """Aggregates, logs, and optionally serializes eval results."""
   from putting_dune_tpu import eval_lib
@@ -83,18 +101,19 @@ def _report(args: Args, results):
   aggregate = eval_lib.aggregate_results(results)
   logging.info('Aggregate results:')
   for field in dataclasses.fields(aggregate):
-    logging.info('  %s: %s', field.name, getattr(aggregate, field.name))
+    logging.info('  %s: %s', field.name,
+                 _display(getattr(aggregate, field.name)))
 
   if args.output_json:
-    payload = {
+    payload = _json_safe({
         'experiment': args.experiment_name,
         'suite': args.eval_suite,
         'aggregate': dataclasses.asdict(aggregate),
         'results': [dataclasses.asdict(r) for r in results],
-    }
+    })
     os.makedirs(os.path.dirname(args.output_json) or '.', exist_ok=True)
     with open(args.output_json, 'w') as f:
-      json.dump(payload, f)
+      json.dump(payload, f, allow_nan=False)
   return aggregate
 
 
@@ -196,6 +215,11 @@ def _parse_args() -> Args:
   return Args(**vars(parser.parse_args()))
 
 
-if __name__ == '__main__':
+def cli() -> None:
+  """Console entry point (`putting-dune-tpu-eval`)."""
   logging.basicConfig(level=logging.INFO)
   main(_parse_args())
+
+
+if __name__ == '__main__':
+  cli()

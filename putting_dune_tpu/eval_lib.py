@@ -3,13 +3,16 @@
 TPU-first rewrite of /root/reference/putting_dune/eval_lib.py:39-214.
 
 Primary API: evaluate_batched() runs an entire eval suite as ONE batch of
-environments inside a single jitted while-loop — each env stops contributing
-once its episode ends — so a 10k-seed "big_eval" takes seconds instead of
-hours. The reference's per-episode wall-clock agent timing cannot be
-measured per-env inside a batch, so the batched evaluator enforces the
-10-minute budget on *simulated* environment time only (agent compute is
-effectively free on device); the host-loop evaluate() keeps exact reference
-timing semantics for single-env parity runs.
+environments on device — each env stops contributing once its episode ends
+— so a 10k-seed "big_eval" takes seconds instead of hours. The device
+while-loop is chunked (default 64 steps per dispatch) and the host checks
+time.perf_counter() between chunks, so the reference's combined
+10-minute budget (simulated env seconds + wall-clock, reference
+eval_lib.py:82,128-140) holds on device too: each live episode is
+truncated once env_seconds + shared wall-clock exceeds the budget. The
+per-episode *agent* wall-time split is still not separable inside a batch
+(reported as NaN → 'n/a'); the host-loop evaluate() keeps exact reference
+per-episode timing semantics for single-env parity runs.
 """
 
 from __future__ import annotations
@@ -62,12 +65,13 @@ class StatefulPolicy:
 
 # Evaluator provenance labels. The two evaluators have DIFFERENT timing
 # semantics and their aggregates must not be silently mixed:
-#   * 'batched': whole suite as one device batch; the 10-min budget applies
-#     to SIMULATED env time only and agent_seconds is reported as 0
-#     (per-env agent wall-time is not separable inside a batch).
+#   * 'batched': whole suite as one device batch; the 10-min budget combines
+#     simulated env time with the batch-shared wall clock (checked between
+#     device chunks), but the per-episode agent wall-time split is not
+#     separable inside a batch and is reported as NaN ('n/a').
 #   * 'host': reference-exact per-episode loop; the budget combines agent
 #     wall-clock + simulated env time (reference eval_lib.py:128-144).
-BATCHED_EVALUATOR = 'batched(sim-time-only)'
+BATCHED_EVALUATOR = 'batched(sim+wall)'
 HOST_EVALUATOR = 'host(wall+sim-time)'
 
 
@@ -153,6 +157,7 @@ def evaluate_batched(
     max_steps: Optional[int] = None,
     video_save_dir: Optional[str] = None,
     video_envs: int = 4,
+    chunk_steps: int = 64,
 ) -> List[EvalResult]:
   """Evaluates a pure policy over one batch of environments on device.
 
@@ -160,7 +165,11 @@ def evaluate_batched(
     env: the batched environment; env.batch_size must equal len(seeds).
     policy: pure policy fn (key, observation) -> action.
     seeds: one seed per environment (keys are derived from them).
-    timeout_seconds: simulated-seconds budget per episode.
+    timeout_seconds: combined per-episode budget in seconds (reference
+      eval_lib.py:82): simulated env seconds plus the batch-shared
+      wall-clock elapsed since the rollout started. Wall-clock is
+      sampled on the host between device chunks, so truncation is
+      accurate to one chunk.
     max_steps: optional step cap (defaults to env.config.step_limit).
     video_save_dir: if set, save per-env episode GIFs for the first
       `video_envs` environments. Within an episode the lattice pose is
@@ -169,9 +178,10 @@ def evaluate_batched(
       and the atom cloud is rebuilt on the host — a few KB per episode
       instead of full frames.
     video_envs: number of leading environments to record.
+    chunk_steps: device steps per dispatch between host wall-clock checks.
 
   Returns:
-    One EvalResult per seed (agent wall-time is reported as 0 in batch
+    One EvalResult per seed (agent wall-time is reported as NaN in batch
     mode — device policy compute is not separable per env).
   """
   if env.batch_size != len(seeds):
@@ -211,7 +221,7 @@ def evaluate_batched(
   stateful = isinstance(policy, StatefulPolicy)
 
   @jax.jit
-  def rollout(seeds_arr):
+  def init_carry(seeds_arr):
     # The batched env consumes one key per step for the whole batch, and
     # splits per-env randomness internally; episode diversity comes from
     # the batch dimension. Fold the seed set into the master key so
@@ -245,10 +255,19 @@ def evaluate_batched(
           theta=jnp.zeros((cap, nvid), jnp.float32).at[0].set(th0),
           goal=jnp.zeros((cap, nvid, d, 2), jnp.float32).at[0].set(goal0),
       )
+    return init
+
+  @jax.jit
+  def run_chunk(carry, wall_elapsed):
+    # Up to `chunk_steps` env steps per dispatch; `wall_elapsed` is the
+    # host wall-clock at chunk start, shared by every episode in the
+    # batch (the reference's combined sim+wall budget, eval_lib.py:128).
+    chunk_end = carry['loop_i'] + chunk_steps
 
     def cond(c):
       return jnp.logical_and(
-          jnp.logical_not(jnp.all(c['done'])), c['loop_i'] < max_steps
+          jnp.logical_not(jnp.all(c['done'])),
+          jnp.logical_and(c['loop_i'] < max_steps, c['loop_i'] < chunk_end),
       )
 
     def body(c):
@@ -275,8 +294,9 @@ def evaluate_batched(
       done = jnp.logical_or(c['done'], terminal)
       # Auto-reset FIRST steps also end the previous episode for us.
       done = jnp.logical_or(done, jnp.logical_and(live, ts.first()))
-      # Episodes that exceed the simulated-time budget stop counting.
-      done = jnp.logical_or(done, env_seconds > timeout_seconds)
+      # Episodes that exceed the combined simulated + wall budget stop
+      # counting (truncated, not reached).
+      done = jnp.logical_or(done, env_seconds + wall_elapsed > timeout_seconds)
       out = dict(
           state=state,
           ts=ts,
@@ -302,18 +322,27 @@ def evaluate_batched(
         )
       return out
 
-    final = jax.lax.while_loop(cond, body, init)
-    return (
-        final['reached'],
-        final['steps'],
-        final['env_seconds'],
-        final['reward'],
-        final.get('video'),
-    )
+    return jax.lax.while_loop(cond, body, carry)
 
-  reached, steps, env_seconds, reward, video = jax.device_get(
-      rollout(seeds_arr)
+  carry = init_carry(seeds_arr)
+  t_start = time.perf_counter()
+  while True:
+    wall = time.perf_counter() - t_start
+    if wall >= timeout_seconds:
+      # Wall budget alone exhausted: every still-live episode is
+      # truncated (env_seconds >= 0 would trip the combined check on the
+      # next step anyway) — stop dispatching.
+      break
+    carry = run_chunk(carry, jnp.float32(wall))
+    loop_i = int(carry['loop_i'])
+    if loop_i >= max_steps or bool(jnp.all(carry['done'])):
+      break
+
+  reached, steps, env_seconds, reward = jax.device_get(
+      (carry['reached'], carry['steps'], carry['env_seconds'],
+       carry['reward'])
   )
+  video = jax.device_get(carry['video']) if nvid else None
   if nvid:
     _save_batched_videos(
         env, seeds, steps, video, video_save_dir, nvid
@@ -326,7 +355,10 @@ def evaluate_batched(
             seed=int(seed),
             reached_goal=ok,
             num_actions_taken=int(steps[i]),
-            agent_seconds_to_goal=0.0 if ok else float('nan'),
+            # Per-env agent wall-time is not separable inside a batch:
+            # NaN here (rendered as 'n/a'), never 0.0, so batched and
+            # host timing numbers can't be silently conflated.
+            agent_seconds_to_goal=float('nan'),
             environment_seconds_to_goal=(
                 float(env_seconds[i]) if ok else float('nan')
             ),

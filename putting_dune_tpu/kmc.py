@@ -43,12 +43,16 @@ class KMCResult(NamedTuple):
     event_times: (E, B) float32 times of the first E events (inf = no event);
       only populated when record_events > 0, else a (0, B) array.
     event_sites: (E, B) int32 site after each recorded event (-1 = none).
+    truncated: (B,) bool — True where the env hit the max_events safety
+      cap with dwell time still remaining (its physics was cut short; a
+      well-behaved rate function never trips this).
   """
 
   si_index: jnp.ndarray
   num_transitions: jnp.ndarray
   event_times: jnp.ndarray
   event_sites: jnp.ndarray
+  truncated: jnp.ndarray
 
 
 def apply_control(
@@ -78,8 +82,12 @@ def apply_control(
     record_events: if > 0, record up to this many events per env (functional
       replacement for the reference observer hook observe_transition,
       simulator observers in microscope_utils.py:503-535).
-    max_events: optional hard cap on loop iterations (safety bound; the
-      physical rates make unbounded loops astronomically unlikely).
+    max_events: optional PER-ENV hard cap on KMC events (safety bound, the
+      same intent as the reference's 3600 s waiting-time clip,
+      graphene.py:667-668): an env that fires this many events during one
+      dwell stops simulating and is flagged truncated. Bounds the batched
+      while-loop against adversarial learned rate functions (huge rates
+      would otherwise spin ~rate*dwell iterations for the whole batch).
 
   Returns:
     KMCResult with final silicon sites and event bookkeeping.
@@ -91,18 +99,15 @@ def apply_control(
   event_sites0 = jnp.full((num_record, batch), -1, dtype=jnp.int32)
 
   def cond(carry):
-    _, _, _, active, count, _, _ = carry
-    alive = jnp.any(active)
-    if max_events is not None:
-      alive = jnp.logical_and(alive, jnp.min(count) < max_events)
-    return alive
+    _, _, _, active, _, _, _, _ = carry
+    return jnp.any(active)
 
   # Loop-invariant pose trig, hoisted out of the while body.
   cos_t = jnp.cos(theta)
   sin_t = jnp.sin(theta)
 
   def body(carry):
-    key, si, elapsed, active, count, ev_t, ev_s = carry
+    key, si, elapsed, active, count, trunc, ev_t, ev_s = carry
     key, k_draw = jax.random.split(key)
 
     # One fused gather+rotate for the silicon and its 3 neighbors.
@@ -160,8 +165,15 @@ def apply_control(
     # Keep looping only while strictly inside the dwell window
     # (reference graphene.py:658: while elapsed < dwell).
     new_active = jnp.logical_and(active, new_elapsed < dwell_seconds)
+    if max_events is not None:
+      # Per-lane safety cap: a lane that hit the cap with dwell remaining
+      # stops simulating (flagged truncated) WITHOUT holding the rest of
+      # the batch in the loop.
+      hit_cap = new_count >= max_events
+      trunc = jnp.logical_or(trunc, jnp.logical_and(new_active, hit_cap))
+      new_active = jnp.logical_and(new_active, jnp.logical_not(hit_cap))
     elapsed = jnp.where(active, new_elapsed, elapsed)
-    return key, new_si, elapsed, new_active, new_count, ev_t, ev_s
+    return key, new_si, elapsed, new_active, new_count, trunc, ev_t, ev_s
 
   init = (
       key,
@@ -169,15 +181,19 @@ def apply_control(
       jnp.zeros((batch,), dtype=jnp.float32),
       dwell_seconds > 0.0,
       jnp.zeros((batch,), dtype=jnp.int32),
+      jnp.zeros((batch,), dtype=bool),
       event_times0,
       event_sites0,
   )
-  _, si_final, _, _, count, ev_t, ev_s = jax.lax.while_loop(cond, body, init)
+  _, si_final, _, _, count, trunc, ev_t, ev_s = jax.lax.while_loop(
+      cond, body, init
+  )
   return KMCResult(
       si_index=si_final,
       num_transitions=count,
       event_times=ev_t,
       event_sites=ev_s,
+      truncated=trunc,
   )
 
 
@@ -187,10 +203,13 @@ class MultiDopantKMCResult(NamedTuple):
   Attributes:
     si_indices: (B, D) int32 final dopant sites.
     num_transitions: (B,) int32 total events across all dopants.
+    truncated: (B,) bool — True where the env hit the max_events safety
+      cap with dwell time still remaining.
   """
 
   si_indices: jnp.ndarray
   num_transitions: jnp.ndarray
+  truncated: jnp.ndarray
 
 
 def apply_control_multi(
@@ -202,6 +221,8 @@ def apply_control_multi(
     beam_position: jnp.ndarray,
     dwell_seconds: jnp.ndarray,
     rate_fn: rates_lib.RateFunction,
+    *,
+    max_events: int | None = None,
 ) -> MultiDopantKMCResult:
   """KMC over D dopants per environment (stress-fidelity extension).
 
@@ -214,6 +235,9 @@ def apply_control_multi(
 
   Args:
     si_indices: (B, D) int32 current dopant sites.
+    max_events: optional PER-ENV cap on total KMC events during the dwell
+      (same safety semantics as apply_control): a lane that hits it stops
+      simulating and is flagged truncated.
     Everything else as apply_control; beam_position (B, 2) material frame.
 
   Returns:
@@ -222,11 +246,11 @@ def apply_control_multi(
   batch, num_dopants = si_indices.shape
 
   def cond(carry):
-    _, _, _, active, _ = carry
+    _, _, _, active, _, _ = carry
     return jnp.any(active)
 
   def body(carry):
-    key, si, elapsed, active, count = carry
+    key, si, elapsed, active, count, trunc = carry
     key, k_wait, k_choice = jax.random.split(key, 3)
 
     nbr_idx = lattice.neighbors[si]  # (B, D, 3)
@@ -271,8 +295,12 @@ def apply_control_multi(
     )
     count = count + fired.astype(jnp.int32)
     active = jnp.logical_and(active, new_elapsed < dwell_seconds)
+    if max_events is not None:
+      hit_cap = count >= max_events
+      trunc = jnp.logical_or(trunc, jnp.logical_and(active, hit_cap))
+      active = jnp.logical_and(active, jnp.logical_not(hit_cap))
     elapsed = jnp.where(active | fired, new_elapsed, elapsed)
-    return key, moved, elapsed, active, count
+    return key, moved, elapsed, active, count, trunc
 
   init = (
       key,
@@ -280,6 +308,9 @@ def apply_control_multi(
       jnp.zeros((batch,), jnp.float32),
       dwell_seconds > 0.0,
       jnp.zeros((batch,), jnp.int32),
+      jnp.zeros((batch,), bool),
   )
-  _, si_final, _, _, count = jax.lax.while_loop(cond, body, init)
-  return MultiDopantKMCResult(si_indices=si_final, num_transitions=count)
+  _, si_final, _, _, count, trunc = jax.lax.while_loop(cond, body, init)
+  return MultiDopantKMCResult(
+      si_indices=si_final, num_transitions=count, truncated=trunc
+  )

@@ -335,6 +335,15 @@ class SimulatedMicroscope:
     self._key, k = self._jax.random.split(self._key)
     return k
 
+  def _assert_has_been_reset(self, fn_name: str) -> None:
+    """Guards post-reset methods (reference _assert_has_been_reset)."""
+    if not hasattr(self, '_state'):
+      raise RuntimeError(
+          f'SimulatedMicroscope.{fn_name}() called before reset(); the'
+          ' instrument must be reset first (reference simulator'
+          ' _assert_has_been_reset semantics).'
+      )
+
   def _host_observation(
       self, obs, controls: Tuple[md.BeamControl, ...] = ()
   ) -> md.MicroscopeObservation:
@@ -373,16 +382,22 @@ class SimulatedMicroscope:
   def apply(
       self, controls: List[md.BeamControl]
   ) -> md.MicroscopeObservation:
-    """Applies the first control (one beam) and re-images."""
+    """Applies the single control (one beam) and re-images.
+
+    The device simulator step models one beam position per frame; rather
+    than silently dropping extra controls (the reference step_and_image
+    applies every control sequentially), a multi-control request fails
+    loudly.
+    """
     import jax.numpy as jnp
 
     from putting_dune_tpu import structures
 
-    if not hasattr(self, '_state'):
-      raise RuntimeError(
-          'SimulatedMicroscope.apply() called before reset(); the'
-          ' instrument must be reset first (reference simulator'
-          ' _assert_has_been_reset semantics).'
+    self._assert_has_been_reset('apply')
+    if len(controls) != 1:
+      raise ValueError(
+          'SimulatedMicroscope models a single beam control per frame;'
+          f' got {len(controls)} controls.'
       )
     control = controls[0]
     device_control = structures.BeamControl(
@@ -403,11 +418,20 @@ class SimulatedMicroscope:
         return_window=True,
         return_image=self._with_image,
     )
-    return self._host_observation(obs, controls=(control,))
+    # Record a defensive copy: the caller owns (and may reuse) the control
+    # buffer, but the observation must capture what was applied.
+    recorded = md.BeamControl(
+        np.asarray(control.position, dtype=float).copy(),
+        control.dwell_time,
+        voltage_kv=control.voltage_kv,
+        current_na=control.current_na,
+    )
+    return self._host_observation(obs, controls=(recorded,))
 
   # Ground truth the real instrument can never see (rehearsal metrics).
 
   def true_silicon_position(self) -> np.ndarray:
+    self._assert_has_been_reset('true_silicon_position')
     material = self._state.material
     return np.asarray(
         self._lattice_lib.site_position(
@@ -417,4 +441,5 @@ class SimulatedMicroscope:
     )[0]
 
   def true_drift(self) -> np.ndarray:
+    self._assert_has_been_reset('true_drift')
     return np.asarray(self._state.drift)[0]

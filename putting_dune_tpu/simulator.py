@@ -58,6 +58,14 @@ class SimulatorConfig:
   # (image_alignment/data.py, reference image_alignment/dataset.py:37-48).
   # 0.0 (default) disables drift with bitwise-identical RNG consumption.
   drift_per_frame_angstroms: float = 0.0
+  # Per-env safety cap on KMC events per beam control (kmc.apply_control
+  # max_events). Physical rates fire ~0.2/s per neighbor so even a 20 s
+  # dwell yields tens of events; the default bounds the batched while-loop
+  # against a misbehaving LEARNED rate predictor (huge rates would spin
+  # ~rate*dwell iterations for the whole batch) while being unreachable
+  # under sane physics. Envs that trip it are flagged in
+  # KMCResult.truncated. None disables the cap.
+  max_kmc_events_per_step: Optional[int] = 10_000
 
 
 def _fov_around(si_pos: jnp.ndarray, scale: jnp.ndarray
@@ -323,6 +331,7 @@ def step(
       control.dwell_seconds,
       rate_fn,
       record_events=record_events,
+      max_events=config.max_kmc_events_per_step,
   )
   material = material.replace(si_index=result.si_index)
 

@@ -559,9 +559,22 @@ def test_simulated_microscope_host_interface_contract():
   )
   with pytest.raises(RuntimeError, match='reset'):
     mic.apply([control])
+  with pytest.raises(RuntimeError, match='reset'):
+    mic.true_silicon_position()
+  with pytest.raises(RuntimeError, match='reset'):
+    mic.true_drift()
 
   obs = mic.reset()
   assert obs.controls == ()
+  # Multi-control requests fail loudly (single-beam device model).
+  with pytest.raises(ValueError, match='single beam'):
+    mic.apply([control, control])
   obs = mic.apply([control])
   assert len(obs.controls) == 1
-  assert obs.controls[0] is control
+  # The recorded control is a defensive copy: mutating the caller's
+  # buffer must not corrupt the recorded trajectory.
+  assert obs.controls[0] is not control
+  recorded_position = obs.controls[0].position.copy()
+  control.position[:] = -1.0
+  np.testing.assert_allclose(obs.controls[0].position, recorded_position)
+  assert obs.controls[0].dwell_time == control.dwell_time

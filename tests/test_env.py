@@ -306,6 +306,56 @@ def test_evaluate_batched_writes_videos(tmp_path):
   assert os.path.getsize(tmp_path / '0.gif') > 1000
 
 
+def test_evaluate_batched_wall_clock_budget(monkeypatch):
+  """The combined sim+wall 10-min budget (reference eval_lib.py:82,128)
+  holds on device: with an artificially fast wall clock, episodes are
+  truncated long before the step limit, marked not-reached, and agent
+  wall time is NaN ('n/a'), never 0.0."""
+  from putting_dune_tpu import eval_lib
+
+  env = make_env(batch_size=4, rate_fn=zero_rates, step_limit=600)
+
+  def policy(key, obs):
+    del key
+    return jnp.zeros((obs.shape[0], 2))
+
+  # (a) Host-side wall break between chunks: the clock jumps 350 s per
+  # call, so after ONE 16-step chunk the wall budget alone is exhausted.
+  ticks = {'t': 0.0}
+
+  def fake_clock():
+    ticks['t'] += 350.0
+    return ticks['t']
+
+  monkeypatch.setattr(eval_lib.time, 'perf_counter', fake_clock)
+  results = eval_lib.evaluate_batched(
+      env, policy, seeds=list(range(4)), chunk_steps=16
+  )
+  assert [r.num_actions_taken for r in results] == [16] * 4
+  assert not any(r.reached_goal for r in results)
+  assert all(np.isnan(r.agent_seconds_to_goal) for r in results)
+  assert all(r.evaluator == eval_lib.BATCHED_EVALUATOR for r in results)
+  agg = eval_lib.aggregate_results(results)
+  assert agg.evaluator == eval_lib.BATCHED_EVALUATOR
+
+  # (b) In-chunk combined check: smaller wall offset, one big chunk —
+  # each episode stops once env_seconds + wall > 600 (at ~3.5 simulated
+  # seconds per step that is ~100 steps, far under the 600-step limit).
+  ticks['t'] = 0.0
+
+  def fake_clock_2():
+    ticks['t'] += 250.0
+    return ticks['t']
+
+  monkeypatch.setattr(eval_lib.time, 'perf_counter', fake_clock_2)
+  results = eval_lib.evaluate_batched(
+      env, policy, seeds=list(range(4)), chunk_steps=512
+  )
+  for r in results:
+    assert not r.reached_goal
+    assert 80 <= r.num_actions_taken <= 120
+
+
 class DmEnvConformanceTest(
     __import__('dm_env.test_utils', fromlist=['EnvironmentTestMixin']
                ).EnvironmentTestMixin,

@@ -204,3 +204,84 @@ def test_multi_dopant_kmc():
   for b in range(batch):
     assert len(set(out[b].tolist())) == dopants
   assert np.asarray(result.num_transitions).mean() > 1.0
+
+
+def test_max_events_bounds_adversarial_rates_per_lane():
+  """A misbehaving LEARNED rate fn (huge rates) cannot spin the batched
+  while-loop: each lane stops at max_events and is flagged truncated,
+  PER LANE — hot lanes cap out without holding well-behaved lanes in the
+  loop, and cold lanes are never flagged."""
+  batch = 8
+
+  def adversarial(si_pos, neighbor_pos, beam_pos):
+    del si_pos, neighbor_pos
+    hot = beam_pos[:, :1] > 0.5  # lanes aimed at x > 0.5 emit 1e6 rates
+    return jnp.where(hot, 1e6, 1e-9) * jnp.ones((batch, 3))
+
+  offset = jnp.zeros((batch, 2))
+  theta = jnp.zeros((batch,))
+  si_index = lattice_lib.initial_silicon_index(LATTICE, offset)
+  beam = jnp.zeros((batch, 2)).at[::2, 0].set(1.0)  # even lanes hot
+  result = kmc.apply_control(
+      jax.random.PRNGKey(7),
+      LATTICE,
+      offset,
+      theta,
+      si_index,
+      beam,
+      jnp.full((batch,), 1.5),
+      adversarial,
+      max_events=50,
+  )
+  counts = np.asarray(result.num_transitions)
+  trunc = np.asarray(result.truncated)
+  assert (counts[::2] == 50).all()  # hot lanes capped exactly
+  assert trunc[::2].all()  # ...and flagged truncated
+  assert (counts[1::2] == 0).all()  # cold lanes: no events fired
+  assert not trunc[1::2].any()  # ...and never flagged
+
+
+def test_max_events_unreachable_under_sane_rates():
+  """The default-scale cap never perturbs physical simulations: results
+  with and without the cap are identical under sane rates."""
+  capped = _run(jax.random.PRNGKey(9), constant_rate_fn(1.0), 1.5)
+  uncapped = kmc.apply_control(
+      jax.random.PRNGKey(9),
+      LATTICE,
+      jnp.zeros((64, 2)),
+      jnp.zeros((64,)),
+      lattice_lib.initial_silicon_index(LATTICE, jnp.zeros((64, 2))),
+      jnp.zeros((64, 2)),
+      jnp.full((64,), 1.5),
+      constant_rate_fn(1.0),
+      max_events=10_000,
+  )
+  np.testing.assert_array_equal(
+      np.asarray(capped.si_index), np.asarray(uncapped.si_index)
+  )
+  assert not np.asarray(uncapped.truncated).any()
+
+
+def test_multi_dopant_max_events_cap():
+  """apply_control_multi honors the same per-lane safety bound."""
+  batch = 4
+  offset = jnp.zeros((batch, 2))
+  theta = jnp.zeros((batch,))
+  positions = np.asarray(LATTICE.positions)
+  idx0 = int(np.argmin(np.sum(positions**2, axis=1)))
+  idx1 = int(np.argmin(np.sum((positions - 5.0) ** 2, axis=1)))
+  si = jnp.tile(jnp.asarray([[idx0, idx1]], jnp.int32), (batch, 1))
+
+  result = kmc.apply_control_multi(
+      jax.random.PRNGKey(21),
+      LATTICE,
+      offset,
+      theta,
+      si,
+      jnp.zeros((batch, 2)),
+      jnp.full((batch,), 1.5),
+      constant_rate_fn(1e6),
+      max_events=30,
+  )
+  assert (np.asarray(result.num_transitions) == 30).all()
+  assert np.asarray(result.truncated).all()
