@@ -22,7 +22,7 @@ from typing import Iterable, Iterator, List, Optional, Sequence, Type, TypeVar
 T = TypeVar('T')
 
 _NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))), 'native'
+    os.path.dirname(os.path.dirname(__file__)), 'native'
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, 'libpdtfrecord.so')
 _lib = None

@@ -113,5 +113,10 @@ def _parse_args() -> Args:
   return Args(**vars(parser.parse_args()))
 
 
-if __name__ == '__main__':
+def cli() -> None:
+  """Console entry point."""
   main(_parse_args())
+
+
+if __name__ == '__main__':
+  cli()

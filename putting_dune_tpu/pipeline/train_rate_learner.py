@@ -538,5 +538,10 @@ def _parse_args() -> Args:
   return Args(**kwargs)
 
 
-if __name__ == '__main__':
+def cli() -> None:
+  """Console entry point."""
   main(_parse_args())
+
+
+if __name__ == '__main__':
+  cli()
