@@ -11,6 +11,7 @@ labeled entirely on the accelerator.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -103,3 +104,86 @@ def dataset_iterator(
         k, lattice, batch_size=batch_size, image_size=image_size,
         noisy=batch_noisy,
     )
+
+
+# --- record-backed dataset source ---------------------------------------------
+# Parity: reference atom_detection/dataset.py:81-120 (materialized TFDS
+# dataset + grain loader with per-process sharding). Materialization and
+# loading live in io/datasets.py; these wrappers fix this loop's example
+# schema: {'image': (S, S, 1) f32, 'mask': (S, S, 3) f32}.
+
+
+def write_dataset(
+    records_dir: str,
+    *,
+    num_examples: int,
+    seed: int = 0,
+    gen_batch_size: int = 64,
+    image_size: int = 128,
+    grid_columns: int = 50,
+    noisy: bool = False,
+    noisy_fraction: Optional[float] = None,
+    test_examples: int = 0,
+    examples_per_shard: int = 256,
+) -> int:
+  """Materializes a rendered (image, mask) dataset as TFRecord shards.
+
+  Returns the number of train examples written. When test_examples > 0 a
+  held-out `test/` split is written from a disjoint RNG stream (reference
+  train/test TFDS splits, dataset.py:95-113).
+  """
+  import itertools
+
+  from putting_dune_tpu.io import datasets
+
+  def examples(split_seed: int):
+    batches = dataset_iterator(
+        split_seed,
+        batch_size=gen_batch_size,
+        image_size=image_size,
+        grid_columns=grid_columns,
+        noisy=noisy,
+        noisy_fraction=noisy_fraction,
+    )
+    return itertools.chain.from_iterable(
+        datasets.unbatch(jax.device_get(b)) for b in batches
+    )
+
+  datasets.write_examples(
+      records_dir,
+      itertools.islice(examples(seed), num_examples),
+      examples_per_shard=examples_per_shard,
+  )
+  if test_examples > 0:
+    datasets.write_examples(
+        os.path.join(records_dir, 'test'),
+        itertools.islice(examples(seed + 1), test_examples),
+        examples_per_shard=examples_per_shard,
+    )
+  return num_examples
+
+
+def records_dataset_iterator(
+    records_dir: str,
+    seed: int,
+    *,
+    batch_size: int,
+    split: str = 'train',
+    shuffle: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+  """Endless per-process-sharded batches from a materialized dataset.
+
+  Drop-in replacement for dataset_iterator: same {'image','mask'} batch
+  dict, consumed through parallel.mesh.global_batch. batch_size is the
+  PROCESS-LOCAL size; examples shard across processes by global index
+  (reference grain.ShardByJaxProcess, dataset.py:100).
+  """
+  from putting_dune_tpu.io import datasets
+
+  return datasets.records_iterator(
+      datasets.split_dir(records_dir, split),
+      batch_size=batch_size,
+      seed=seed,
+      shuffle=shuffle,
+      repeat=True,
+  )

@@ -56,6 +56,12 @@ class Config:
   # continuation run pick up from the shipped artifact after the previous
   # run's checkpoints were pruned.
   init_params_from: str = ''
+  # 'synthetic' (default): on-device generated batches. 'records:<dir>':
+  # a materialized TFRecord dataset (data.write_dataset / real labeled
+  # data), per-process example sharding — the reference's grain/TFDS
+  # loader path (atom_detection/dataset.py:81-120). Eval uses the
+  # dataset's test/ split when present.
+  data_source: str = 'synthetic'
 
 
 class TrainState(train_state.TrainState):
@@ -161,21 +167,32 @@ def train(config: Config, *, mesh=None, progress=None,
   # image_alignment/train.py:384-391). Single-process this reduces exactly
   # to the plain shard_batch path.
   local_batch = mesh_lib.process_local_batch_size(config.batch_size)
-  train_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed),
-      noisy_fraction=config.noisy_fraction,
-      batch_size=local_batch,
-      image_size=config.image_size,
-      grid_columns=config.grid_columns,
-      noisy=config.noisy_images,
-  )
-  eval_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed + 1),
-      batch_size=local_batch,
-      image_size=config.image_size,
-      grid_columns=config.grid_columns,
-      noisy=config.noisy_images,
-  )
+  from putting_dune_tpu.io import datasets as datasets_lib
+
+  records_dir = datasets_lib.parse_data_source(config.data_source)
+  if records_dir is not None:
+    train_iter = data_lib.records_dataset_iterator(
+        records_dir, config.seed, batch_size=local_batch, split='train'
+    )
+    eval_iter = data_lib.records_dataset_iterator(
+        records_dir, config.seed + 1, batch_size=local_batch, split='test'
+    )
+  else:
+    train_iter = data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed),
+        noisy_fraction=config.noisy_fraction,
+        batch_size=local_batch,
+        image_size=config.image_size,
+        grid_columns=config.grid_columns,
+        noisy=config.noisy_images,
+    )
+    eval_iter = data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed + 1),
+        batch_size=local_batch,
+        image_size=config.image_size,
+        grid_columns=config.grid_columns,
+        noisy=config.noisy_images,
+    )
 
   for epoch in range(start_epoch, config.epochs):
     if stop_fn is not None and stop_fn():

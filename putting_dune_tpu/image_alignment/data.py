@@ -10,6 +10,7 @@ cumulative drifts (angstroms) relative to the final frame.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -249,3 +250,158 @@ def dataset_iterator(
         inference_preprocessing=inference_preprocessing,
         seed_fraction=seed_fraction,
     )
+
+
+# --- record-backed dataset source ---------------------------------------------
+# Parity: reference image_alignment/dataset.py:127-147 (materialized
+# grain/TFDS loader, per-process sharding). Example schema per record:
+# {'images': (S, S, T) f32, 'mask': (S, S, T*3) f32, 'drift': (T, 2) f32}.
+
+
+def write_dataset(
+    records_dir: str,
+    *,
+    num_examples: int,
+    seed: int = 0,
+    gen_batch_size: int = 16,
+    image_size: int = 128,
+    num_frames: int = 5,
+    grid_columns: int = 50,
+    noisy: bool = False,
+    noisy_fraction: Optional[float] = None,
+    max_drift_per_step: float = 1.0,
+    registration_noise: float = 0.0,
+    inference_preprocessing: bool = False,
+    seed_fraction: float = 0.0,
+    test_examples: int = 0,
+    examples_per_shard: int = 128,
+) -> int:
+  """Materializes a drift-stack dataset as TFRecord shards."""
+  import itertools
+
+  from putting_dune_tpu.io import datasets
+
+  def examples(split_seed: int):
+    batches = dataset_iterator(
+        split_seed,
+        batch_size=gen_batch_size,
+        image_size=image_size,
+        num_frames=num_frames,
+        grid_columns=grid_columns,
+        noisy=noisy,
+        noisy_fraction=noisy_fraction,
+        max_drift_per_step=max_drift_per_step,
+        registration_noise=registration_noise,
+        inference_preprocessing=inference_preprocessing,
+        seed_fraction=seed_fraction,
+    )
+    return itertools.chain.from_iterable(
+        datasets.unbatch(jax.device_get(b)) for b in batches
+    )
+
+  datasets.write_examples(
+      records_dir,
+      itertools.islice(examples(seed), num_examples),
+      examples_per_shard=examples_per_shard,
+  )
+  if test_examples > 0:
+    datasets.write_examples(
+        os.path.join(records_dir, 'test'),
+        itertools.islice(examples(seed + 1), test_examples),
+        examples_per_shard=examples_per_shard,
+    )
+  return num_examples
+
+
+def records_dataset_iterator(
+    records_dir: str,
+    seed: int,
+    *,
+    batch_size: int,
+    split: str = 'train',
+    shuffle: bool = True,
+):
+  """Endless per-process-sharded batches from a materialized dataset.
+
+  Drop-in replacement for dataset_iterator (same batch dict, consumed
+  through parallel.mesh.global_batch); batch_size is PROCESS-LOCAL.
+  """
+  from putting_dune_tpu.io import datasets
+
+  return datasets.records_iterator(
+      datasets.split_dir(records_dir, split),
+      batch_size=batch_size,
+      seed=seed,
+      shuffle=shuffle,
+      repeat=True,
+  )
+
+
+def examples_from_labeled_trajectory(
+    labeled,
+    *,
+    num_frames: int = 5,
+    image_size: int = 128,
+    stride: int = 1,
+):
+  """Converts a REAL labeled trajectory into drift-stack train examples.
+
+  This is the path the reference reaches through its materialized
+  image-alignment dataset (built from labeled microscope dumps;
+  dataset.py:127-147): each sliding window of `num_frames` consecutive
+  imaged observations becomes one example. Labels are each frame's
+  cumulative drift relative to the window's FIRST frame (the raw-stack
+  gauge used by the synthetic generator above). Real data carries no
+  segmentation masks, so `mask` is all-background — train with
+  Config.ce_loss_weight=0 (drift head only) or mix with synthetic
+  batches for the segmentation signal.
+
+  Args:
+    labeled: microscope_data.LabeledAlignmentTrajectory (drifts aligned
+      one-per-observation).
+    num_frames: window length T (must match the model's num_frames).
+    image_size: output resolution (frames are resized with cv2).
+    stride: window step in observations.
+
+  Yields:
+    {'images': (S,S,T), 'mask': (S,S,T*3), 'drift': (T,2)} examples.
+  """
+  import cv2
+
+  observations = list(labeled.trajectory.observations)
+  drifts = list(labeled.drifts)
+  if len(drifts) != len(observations):
+    raise ValueError(
+        f'{len(drifts)} drift labels for {len(observations)} observations'
+    )
+  frames = []
+  for obs in observations:
+    if obs.image is None:
+      raise ValueError('observation without an image cannot be aligned')
+    img = np.asarray(obs.image, np.float32)
+    if img.ndim == 3:
+      img = img[..., 0]
+    img = cv2.resize(
+        img, (image_size, image_size), interpolation=cv2.INTER_LINEAR
+    )
+    lo, hi = float(img.min()), float(img.max())
+    frames.append((img - lo) / max(hi - lo, 1e-12))
+
+  background = np.zeros(
+      (image_size, image_size, num_frames * 3), np.float32
+  )
+  background[..., 0::3] = 1.0  # one-hot class 0 per frame
+  for start in range(0, len(frames) - num_frames + 1, stride):
+    window = frames[start:start + num_frames]
+    base = drifts[start].drift
+    labels = np.stack(
+        [
+            np.asarray(drifts[start + t].drift, np.float32) - base
+            for t in range(num_frames)
+        ]
+    )
+    yield {
+        'images': np.stack(window, axis=-1).astype(np.float32),
+        'mask': background,
+        'drift': labels.astype(np.float32),
+    }

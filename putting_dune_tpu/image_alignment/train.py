@@ -58,6 +58,17 @@ class Config:
   # Warm-start params from this workdir (params.msgpack / best orbax ckpt)
   # when the run has no orbax checkpoint of its own yet.
   init_params_from: str = ''
+  # 'synthetic' (default): on-device generated stacks. 'records:<dir>':
+  # a materialized TFRecord dataset (data.write_dataset, or REAL labeled
+  # microscope data via data.examples_from_labeled_trajectory), with
+  # per-process example sharding — the reference's grain/TFDS loader path
+  # (image_alignment/dataset.py:127-147). Eval uses the dataset's test/
+  # split when present.
+  data_source: str = 'synthetic'
+  # Weight on the per-frame segmentation CE head. Set to 0 when training
+  # on real labeled trajectories (they carry drift labels but no
+  # segmentation masks).
+  ce_loss_weight: float = 1.0
 
 
 class TrainState(train_state.TrainState):
@@ -97,12 +108,13 @@ def train_step(
     drift_loss_weight: float,
     num_frames: int,
     final_step_only: bool,
+    ce_loss_weight: float = 1.0,
 ):
   def loss_fn(params):
     ce, accuracy, drift_loss, drift_error = _losses(
         state.apply_fn, params, batch, num_frames, final_step_only
     )
-    total = ce + drift_loss_weight * drift_loss
+    total = ce_loss_weight * ce + drift_loss_weight * drift_loss
     return total, {
         'loss': total,
         'ce': ce,
@@ -187,29 +199,40 @@ def train(config: Config, *, mesh=None, progress=None,
   # parallel/mesh.py (multi-process support). Single-process this is the
   # plain shard_batch path.
   local_batch = mesh_lib.process_local_batch_size(config.batch_size)
-  train_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed),
-      batch_size=local_batch,
-      image_size=config.image_size,
-      num_frames=config.num_frames,
-      grid_columns=config.grid_columns,
-      noisy=config.noisy_images,
-      noisy_fraction=config.noisy_fraction,
-      registration_noise=config.registration_noise,
-      inference_preprocessing=config.inference_preprocessing,
-      seed_fraction=config.seed_fraction,
-  )
-  eval_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed + 1),
-      batch_size=local_batch,
-      image_size=config.image_size,
-      num_frames=config.num_frames,
-      grid_columns=config.grid_columns,
-      noisy=config.noisy_images,
-      registration_noise=config.registration_noise,
-      inference_preprocessing=config.inference_preprocessing,
-      seed_fraction=config.seed_fraction,
-  )
+  from putting_dune_tpu.io import datasets as datasets_lib
+
+  records_dir = datasets_lib.parse_data_source(config.data_source)
+  if records_dir is not None:
+    train_iter = data_lib.records_dataset_iterator(
+        records_dir, config.seed, batch_size=local_batch, split='train'
+    )
+    eval_iter = data_lib.records_dataset_iterator(
+        records_dir, config.seed + 1, batch_size=local_batch, split='test'
+    )
+  else:
+    train_iter = data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed),
+        batch_size=local_batch,
+        image_size=config.image_size,
+        num_frames=config.num_frames,
+        grid_columns=config.grid_columns,
+        noisy=config.noisy_images,
+        noisy_fraction=config.noisy_fraction,
+        registration_noise=config.registration_noise,
+        inference_preprocessing=config.inference_preprocessing,
+        seed_fraction=config.seed_fraction,
+    )
+    eval_iter = data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed + 1),
+        batch_size=local_batch,
+        image_size=config.image_size,
+        num_frames=config.num_frames,
+        grid_columns=config.grid_columns,
+        noisy=config.noisy_images,
+        registration_noise=config.registration_noise,
+        inference_preprocessing=config.inference_preprocessing,
+        seed_fraction=config.seed_fraction,
+    )
 
   for epoch in range(start_epoch, config.epochs):
     if stop_fn is not None and stop_fn():
@@ -222,6 +245,7 @@ def train(config: Config, *, mesh=None, progress=None,
           config.drift_loss_weight,
           config.num_frames,
           config.final_step_only,
+          config.ce_loss_weight,
       )
     evals = []
     for _ in range(config.eval_steps):

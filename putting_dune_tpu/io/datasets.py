@@ -1,0 +1,213 @@
+"""Record-backed dataset sources for the perception train loops.
+
+Parity: the reference trains its perception UNets from MATERIALIZED
+datasets with per-process sharding (grain/TFDS loaders,
+/root/reference/putting_dune/atom_detection/dataset.py:81-120 and
+image_alignment/dataset.py:127-147, grain.ShardByJaxProcess) — which is
+also the only path to training on REAL labeled microscope data. Here a
+dataset is a directory of sharded TFRecord files of ArrayExample protos
+(one UNBATCHED example per record, named dense arrays), written/read by
+io.records' native C++ codec. The iterator streams shards with a
+deterministic seeded shuffle and shards EXAMPLES across jax processes by
+global index, so every process sees a disjoint slice of each epoch
+(reference ShardByJaxProcess semantics) and the global batch assembles
+with parallel.mesh.global_batch exactly like the synthetic path.
+
+Layout convention: a dataset directory holds `part-NNNNN.tfrecords`
+shards; an optional `test/` subdirectory holds a held-out split with the
+same layout (reference train/test TFDS splits, dataset.py:95-113).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from putting_dune_tpu import microscope_data as md
+from putting_dune_tpu.io import records as records_lib
+from putting_dune_tpu.proto import putting_dune_tpu_pb2 as pb
+
+Example = Dict[str, np.ndarray]
+
+_SHARD_GLOB = 'part-*.tfrecords'
+
+
+def example_to_bytes(example: Example) -> bytes:
+  """Serializes one named-array example as an ArrayExample proto."""
+  msg = pb.ArrayExample()
+  for name, array in example.items():
+    msg.arrays[name].CopyFrom(md.ndarray_to_proto(np.asarray(array)))
+  return msg.SerializeToString()
+
+
+def example_from_bytes(payload: bytes) -> Example:
+  msg = pb.ArrayExample.FromString(payload)
+  return {
+      name: md.proto_to_ndarray(nd) for name, nd in msg.arrays.items()
+  }
+
+
+def unbatch(batch: Dict[str, np.ndarray]) -> Iterator[Example]:
+  """Splits a dict of (B, ...) arrays into B per-example dicts."""
+  batch = {k: np.asarray(v) for k, v in batch.items()}
+  sizes = {v.shape[0] for v in batch.values()}
+  if len(sizes) != 1:
+    raise ValueError(f'Inconsistent leading batch dims: {sizes}')
+  (size,) = sizes
+  for i in range(size):
+    yield {k: v[i] for k, v in batch.items()}
+
+
+def write_examples(
+    records_dir: str,
+    examples: Iterable[Example],
+    *,
+    examples_per_shard: int = 256,
+) -> List[str]:
+  """Materializes examples as sharded TFRecord files; returns shard paths."""
+  os.makedirs(records_dir, exist_ok=True)
+  paths: List[str] = []
+  pending: List[bytes] = []
+
+  def flush():
+    path = os.path.join(records_dir, f'part-{len(paths):05d}.tfrecords')
+    records_lib.write_tfrecords(path, pending)
+    paths.append(path)
+    pending.clear()
+
+  for example in examples:
+    pending.append(example_to_bytes(example))
+    if len(pending) >= examples_per_shard:
+      flush()
+  if pending:
+    flush()
+  return paths
+
+
+def shard_paths(records_dir: str) -> List[str]:
+  paths = sorted(glob.glob(os.path.join(records_dir, _SHARD_GLOB)))
+  if not paths:
+    raise FileNotFoundError(
+        f'No {_SHARD_GLOB} shards under {records_dir!r} — materialize one '
+        'with write_examples / the data module write_dataset helpers.'
+    )
+  return paths
+
+
+def count_examples(records_dir: str) -> int:
+  return sum(
+      len(records_lib.read_tfrecords(p)) for p in shard_paths(records_dir)
+  )
+
+
+def iterate_examples(records_dir: str) -> Iterator[Example]:
+  """All examples in deterministic (sorted-shard, in-file) order."""
+  for path in shard_paths(records_dir):
+    for payload in records_lib.read_tfrecords(path):
+      yield example_from_bytes(payload)
+
+
+def records_iterator(
+    records_dir: str,
+    *,
+    batch_size: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    repeat: bool = True,
+    shuffle_buffer: int = 2048,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+  """Streams stacked (local_batch, ...) dict batches from a records dir.
+
+  Per-process sharding (reference grain.ShardByJaxProcess,
+  atom_detection/dataset.py:100): examples are assigned to processes by
+  their GLOBAL index (sorted-shard order) modulo process_count, which is
+  stable across epochs and independent of the shuffle, so processes see
+  disjoint slices. Shuffling is two-level and deterministic from `seed`:
+  shard order is reshuffled each epoch and examples pass through a
+  seeded reservoir buffer.
+
+  Args:
+    records_dir: directory of part-*.tfrecords shards.
+    batch_size: PER-PROCESS batch size (the caller assembles the global
+      batch with parallel.mesh.global_batch, as for synthetic streams).
+    seed: shuffle seed.
+    shuffle: disable for deterministic evaluation sweeps.
+    repeat: loop forever (train) or stop after one epoch (eval/export).
+    shuffle_buffer: examples held for the second-level shuffle.
+    process_index / process_count: default to jax.process_index/count.
+
+  Yields:
+    {name: (batch_size, ...) np.ndarray} batches; a final partial batch
+    is dropped (reference drop_remainder=True).
+  """
+  if process_index is None or process_count is None:
+    import jax
+
+    process_index = jax.process_index()
+    process_count = jax.process_count()
+
+  paths = shard_paths(records_dir)
+  # Global index base per shard, fixed by sorted order (not shuffle order).
+  shard_sizes = [len(records_lib.read_tfrecords(p)) for p in paths]
+  bases = np.concatenate([[0], np.cumsum(shard_sizes)])[:-1]
+  rng = np.random.default_rng(seed)
+
+  def epoch() -> Iterator[Example]:
+    order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
+    buffer: List[Example] = []
+    for shard_i in order:
+      payloads = records_lib.read_tfrecords(paths[shard_i])
+      for j, payload in enumerate(payloads):
+        if (int(bases[shard_i]) + j) % process_count != process_index:
+          continue
+        buffer.append(example_from_bytes(payload))
+        if shuffle and len(buffer) >= shuffle_buffer:
+          k = int(rng.integers(len(buffer)))
+          buffer[k], buffer[-1] = buffer[-1], buffer[k]
+          yield buffer.pop()
+        elif not shuffle:
+          yield buffer.pop()
+    while buffer:
+      if shuffle:
+        k = int(rng.integers(len(buffer)))
+        buffer[k], buffer[-1] = buffer[-1], buffer[k]
+      yield buffer.pop()
+
+  pending: List[Example] = []
+  while True:
+    for example in epoch():
+      pending.append(example)
+      if len(pending) == batch_size:
+        yield {
+            k: np.stack([e[k] for e in pending]) for k in pending[0]
+        }
+        pending = []
+    if not repeat:
+      return
+    # Dropped remainder carries into the next epoch when repeating.
+
+
+def split_dir(records_dir: str, split: str) -> str:
+  """Resolves a split subdirectory: `<dir>/<split>` if present, else the
+  dataset root (small datasets may ship a single unsplit directory)."""
+  candidate = os.path.join(records_dir, split)
+  if glob.glob(os.path.join(candidate, _SHARD_GLOB)):
+    return candidate
+  return records_dir
+
+
+def parse_data_source(data_source: str) -> Optional[str]:
+  """'records:<dir>' -> dir; 'synthetic' / '' -> None (generated data)."""
+  if not data_source or data_source == 'synthetic':
+    return None
+  if data_source.startswith('records:'):
+    return data_source[len('records:'):]
+  raise ValueError(
+      f'Unknown data_source {data_source!r}; expected "synthetic" or '
+      '"records:<dir>".'
+  )
