@@ -195,26 +195,23 @@ def read_records(path: str, record_cls: Optional[Type[T]] = None) -> List:
 # --- riegeli interop ----------------------------------------------------------
 #
 # The reference's upload pipeline writes riegeli records
-# (upload_microscope_data.py:32,223-244). Riegeli's default record chunks
-# are brotli-compressed, and neither the `riegeli` package nor a brotli
-# codec is present in this image — so default reference-produced files are
-# fundamentally unreadable here without a one-time conversion. Policy:
-#   * if the `riegeli` package IS importable (e.g. the reference's own
-#     environment), .riegeli paths work natively in both directions;
-#   * otherwise a precise error points at the conversion CLI
-#     (pipeline/convert_riegeli.py), which is designed to run in the
-#     reference environment and emit .tfrecords this framework reads with
-#     its native C++ codec.
+# (upload_microscope_data.py:32,223-244; default RecordWriter options =
+# brotli-compressed simple chunks). Policy:
+#   * READING .riegeli is native: io/riegeli_native.py parses the public
+#     chunk/block format directly with system-library decompression
+#     (brotli/zstd/snappy/none) — no riegeli package needed. Only
+#     transposed chunks (non-default transpose=true) still require the
+#     optional package, as does hash VERIFICATION (HighwayHash).
+#   * WRITING .riegeli requires the optional `riegeli` package (valid
+#     files need HighwayHash chunk hashes); without it, write tfrecords —
+#     the reference-side pipeline/convert_riegeli.py remains as a legacy
+#     bridge for producing .riegeli in the reference's own environment.
 
 
-_RIEGELI_HELP = (
-    'the `riegeli` package (and its brotli codec) is not available in '
-    'this environment, and reference-produced riegeli files are '
-    'brotli-compressed by default. Convert once where riegeli IS '
-    'installed (e.g. the reference environment):\n'
-    '  python -m putting_dune_tpu.pipeline.convert_riegeli '
-    '--source_path=data.riegeli --target_path=data.tfrecords\n'
-    'then use the .tfrecords file here.'
+_RIEGELI_WRITE_HELP = (
+    'writing riegeli requires the optional `riegeli` package (valid '
+    'files carry HighwayHash chunk hashes). Write .tfrecords instead — '
+    'this framework and any TFRecord tooling read them natively.'
 )
 
 
@@ -227,18 +224,24 @@ def _riegeli_module():
 
 
 def _read_riegeli(path: str) -> List[bytes]:
-  riegeli = _riegeli_module()
-  if riegeli is None:
-    raise NotImplementedError(f'Cannot read {path}: {_RIEGELI_HELP}')
-  with open(path, 'rb') as f:
-    with riegeli.RecordReader(f) as reader:
-      return list(reader.read_records())
+  from putting_dune_tpu.io import riegeli_native
+
+  try:
+    return riegeli_native.read_riegeli_records(path)
+  except NotImplementedError:
+    # Transposed chunks: only the real riegeli package decodes them.
+    riegeli = _riegeli_module()
+    if riegeli is None:
+      raise
+    with open(path, 'rb') as f:
+      with riegeli.RecordReader(f) as reader:
+        return list(reader.read_records())
 
 
 def _write_riegeli(path: str, payloads: Sequence[bytes]) -> None:
   riegeli = _riegeli_module()
   if riegeli is None:
-    raise NotImplementedError(f'Cannot write {path}: {_RIEGELI_HELP}')
+    raise NotImplementedError(f'Cannot write {path}: {_RIEGELI_WRITE_HELP}')
   with open(path, 'wb') as f:
     with riegeli.RecordWriter(f) as writer:
       for p in payloads:

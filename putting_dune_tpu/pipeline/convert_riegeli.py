@@ -1,14 +1,14 @@
-"""Converts riegeli record files to/from TFRecord, record-for-record.
+"""LEGACY: converts riegeli record files to/from TFRecord.
 
-The reference's upload pipeline emits riegeli records
-(reference pipeline/upload_microscope_data.py:32,223-244), which are
-brotli-compressed by default. This framework's native record codec is
-TFRecord (native/tfrecord.cc); neither the `riegeli` package nor a brotli
-codec is available in the zero-egress TPU image, so reference-produced
-riegeli datasets need a ONE-TIME conversion run in an environment where
-`riegeli` is installed (e.g. the reference's own environment — this script
-has no other dependency on that side, records are rewrapped byte-for-byte
-without being parsed):
+READING reference-produced riegeli is now native — io/riegeli_native.py
+parses the chunk/block format directly (brotli/zstd/snappy via system
+libraries), so `read_records('x.riegeli')` works without this script or
+the riegeli package. This converter remains for two residual cases:
+transposed chunks (non-default RecordWriter transpose=true), and
+PRODUCING .riegeli files for reference tooling (valid files need
+HighwayHash chunk hashes, which only the riegeli package computes). Run
+it in an environment where `riegeli` is installed (e.g. the reference's
+own environment — records are rewrapped byte-for-byte without parsing):
 
   python -m putting_dune_tpu.pipeline.convert_riegeli \
       --source_path=trajectories.riegeli --target_path=trajectories.tfrecords
