@@ -435,6 +435,7 @@ def train_and_save(
     max_wall_seconds: Optional[float] = None,
     log_every_chunk: bool = False,
     init_params_from: Optional[str] = None,
+    mesh=None,
 ):
   """Trains PPO and saves the policy as an EvalAgent checkpoint.
 
@@ -442,6 +443,9 @@ def train_and_save(
   saving a rolling checkpoint to save_dir after every chunk (long runs
   survive interruption) and stopping early once max_wall_seconds is
   exceeded. Without it, the whole run is one device call.
+
+  mesh: optional 'data' mesh for data-parallel training (env batch
+  sharded, params replicated; see make_train_fns).
 
   init_params_from warm-starts from a saved 'actor_critic' EvalAgent
   checkpoint dir (image policies keep the full actor-critic, so a
@@ -467,7 +471,7 @@ def train_and_save(
     init_params = _eval_agent.EvalAgent.load(init_params_from).params
 
   if updates_per_chunk is None:
-    init_carry, run_updates, module = make_train_fns(env, config)
+    init_carry, run_updates, module = make_train_fns(env, config, mesh=mesh)
 
     @jax.jit
     def train(key):
@@ -481,7 +485,7 @@ def train_and_save(
     agent.save(save_dir)
     return agent, jax.device_get(metrics)
 
-  init_carry, run_updates, module = make_train_fns(env, config)
+  init_carry, run_updates, module = make_train_fns(env, config, mesh=mesh)
   carry = init_carry(jax.random.PRNGKey(seed), init_params)
   chunks: list = []
   done = 0

@@ -51,6 +51,12 @@ def main() -> None:
       help='Warm-start from a saved actor_critic EvalAgent checkpoint '
       'dir (continuation runs for image policies).',
   )
+  parser.add_argument(
+      '--mesh', default='',
+      help="Data-parallel device mesh: 'data' (all devices) or 'data:N'. "
+      'Shards the env batch (and eval seeds) over the mesh; params stay '
+      'replicated. Empty = single-device program.',
+  )
   args = parser.parse_args()
 
   import jax
@@ -59,6 +65,9 @@ def main() -> None:
   from putting_dune_tpu import run_helpers
   from putting_dune_tpu.agents import ppo
   from putting_dune_tpu.experiments import registry
+  from putting_dune_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_lib.parse_mesh_spec(args.mesh)
 
   experiment = registry.create_train_experiment(args.train_experiment)
   env = run_helpers.create_batched_env(
@@ -81,6 +90,7 @@ def main() -> None:
       max_wall_seconds=args.max_wall_seconds,
       log_every_chunk=args.updates_per_chunk is not None,
       init_params_from=args.init_params_from,
+      mesh=mesh,
   )
   np.savez_compressed(
       os.path.join(args.workdir, 'train_metrics.npz'), **metrics
@@ -98,7 +108,9 @@ def main() -> None:
         experiment.get_simulator_config,
         batch_size=len(seeds),
     )
-    results = eval_lib.evaluate_batched(eval_env, agent.policy(), seeds)
+    results = eval_lib.evaluate_batched(
+        eval_env, agent.policy(), seeds, mesh=mesh
+    )
     aggregate = eval_lib.aggregate_results(results)
     summary = {
         'success_rate': aggregate.average_num_times_reached_goal,

@@ -31,6 +31,9 @@ class Args:
   output_json: Optional[str] = None
   step_limit: int = 600
   seed: int = 0
+  # Data-parallel mesh spec for batched eval: '' (single-device), 'data'
+  # (all devices) or 'data:N' — shards the suite's env batch over chips.
+  mesh: str = ''
 
 
 def main(args: Args) -> 'object':
@@ -60,7 +63,8 @@ def main(args: Args) -> 'object':
     )
     policy = _policy_for_agent(agent, env)
     results = eval_lib.evaluate_batched(
-        env, policy, seeds, video_save_dir=args.video_save_dir
+        env, policy, seeds, video_save_dir=args.video_save_dir,
+        mesh=_mesh_for(args),
     )
   else:
     env = run_helpers.create_putting_dune_env(
@@ -74,6 +78,12 @@ def main(args: Args) -> 'object':
     )
 
   return _report(args, results)
+
+
+def _mesh_for(args: Args):
+  from putting_dune_tpu.parallel import mesh as mesh_lib
+
+  return mesh_lib.parse_mesh_spec(args.mesh)
 
 
 def _display(value):
@@ -144,7 +154,8 @@ def _eval_multi_dopant(args: Args, seeds):
       )
 
   results = eval_lib.evaluate_batched(
-      env, policy, seeds, video_save_dir=args.video_save_dir
+      env, policy, seeds, video_save_dir=args.video_save_dir,
+      mesh=_mesh_for(args),
   )
   return _report(args, results)
 
@@ -212,6 +223,10 @@ def _parse_args() -> Args:
   parser.add_argument('--output_json', default=None)
   parser.add_argument('--step_limit', type=int, default=600)
   parser.add_argument('--seed', type=int, default=0)
+  parser.add_argument(
+      '--mesh', default='',
+      help="Shard the batched suite over a device mesh: 'data' or 'data:N'.",
+  )
   return Args(**vars(parser.parse_args()))
 
 

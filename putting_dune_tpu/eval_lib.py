@@ -158,6 +158,7 @@ def evaluate_batched(
     video_save_dir: Optional[str] = None,
     video_envs: int = 4,
     chunk_steps: int = 64,
+    mesh=None,
 ) -> List[EvalResult]:
   """Evaluates a pure policy over one batch of environments on device.
 
@@ -179,6 +180,13 @@ def evaluate_batched(
       instead of full frames.
     video_envs: number of leading environments to record.
     chunk_steps: device steps per dispatch between host wall-clock checks.
+    mesh: optional jax.sharding.Mesh with a 'data' axis. The environment
+      batch (seeds, env state, episode bookkeeping) is sharded over it,
+      so a big_eval suite spreads across chips: rollouts are
+      communication-free (envs are independent) and the only collective
+      is the all-done reduction GSPMD inserts for the loop condition.
+      len(seeds) should be divisible by the axis size. Incompatible with
+      video_save_dir (episode video capture stays single-chip).
 
   Returns:
     One EvalResult per seed (agent wall-time is reported as NaN in batch
@@ -195,6 +203,11 @@ def evaluate_batched(
         (getattr(config, 'step_limit', None) if config is not None else None)
         or getattr(env, 'step_limit', None)
         or 600
+    )
+  if mesh is not None and video_save_dir:
+    raise ValueError(
+        'mesh-sharded evaluation does not support video capture; run the '
+        'video pass unsharded.'
     )
   nvid = min(video_envs, env.batch_size) if video_save_dir else 0
   cap = max_steps + 1
@@ -325,6 +338,13 @@ def evaluate_batched(
     return jax.lax.while_loop(cond, body, carry)
 
   carry = init_carry(seeds_arr)
+  if mesh is not None:
+    # Batch-shard every (B, ...) leaf over the 'data' axis (scalars and
+    # non-divisible leaves replicate); run_chunk then executes SPMD with
+    # GSPMD-inserted reductions for the all-done condition.
+    from putting_dune_tpu.parallel import mesh as mesh_lib
+
+    carry = mesh_lib.shard_batch(carry, mesh)
   t_start = time.perf_counter()
   while True:
     wall = time.perf_counter() - t_start

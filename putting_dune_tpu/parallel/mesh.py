@@ -72,6 +72,34 @@ def shard_batch(tree, mesh: Mesh, axis: str = 'data'):
   return jax.tree_util.tree_map(put, tree)
 
 
+def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
+  """Parses a CLI mesh spec into a Mesh: '' / None -> None (single
+  device program, no sharding), 'data' -> 1-D mesh over ALL devices,
+  'data:N' -> 1-D mesh over the first N devices.
+
+  The CLI surface for data-parallel training/eval (train_ppo --mesh,
+  eval --mesh); richer layouts (ensemble 'model' axis) are built
+  programmatically with make_mesh.
+  """
+  if not spec:
+    return None
+  name, _, size = spec.partition(':')
+  if name != 'data':
+    raise ValueError(
+        f"Unknown mesh axis {name!r} in spec {spec!r}; the CLI supports "
+        "'data' or 'data:N'."
+    )
+  if not size:
+    return make_mesh()
+  n = int(size)
+  devices = jax.devices()
+  if n < 1 or n > len(devices):
+    raise ValueError(
+        f'mesh spec {spec!r} wants {n} devices; {len(devices)} available'
+    )
+  return make_mesh([n], ('data',), devices=devices[:n])
+
+
 # --- multi-process (multi-host) support --------------------------------------
 #
 # On a TPU pod slice JAX runs one process per host, each owning its local
