@@ -145,18 +145,25 @@ def bench_env_steps_learned() -> float:
   return bench_env_steps(rate_fn=predictor.as_rate_function())
 
 
-def bench_image_env_steps() -> float:
-  """Env steps/sec with 128x128 image observations (BASELINE config 3)."""
+def bench_image_env_steps(
+    render_size: int = 128, obs_size: int = 128, batch: int = 256,
+    steps: int = 32,
+) -> float:
+  """Env steps/sec with image observations (BASELINE config 3).
+
+  Defaults render at the agent's 128 resolution. The REFERENCE default
+  renders 512x512 then resizes to 128 for the agent (imaging.py:39,
+  feature_constructors.py:254-256) — pass render_size=512, obs_size=128
+  for that configuration (reported as the refcond row).
+  """
   lattice = lattice_lib.make_lattice(50)
-  batch = 256
-  steps = 32
   env = env_lib.PuttingDuneEnv(
       lattice=lattice,
       rate_fn=rates_lib.simple_canonical_rates,
       adapter=action_adapters.RelativeToSiliconActionAdapter(),
-      features=features_lib.ImageFeatures(image_size=128),
+      features=features_lib.ImageFeatures(image_size=obs_size),
       config=env_lib.EnvConfig(
-          sim=simulator_lib.SimulatorConfig(image_size=128)
+          sim=simulator_lib.SimulatorConfig(image_size=render_size)
       ),
       batch_size=batch,
   )
@@ -243,6 +250,13 @@ def main():
   frames_ps = bench_frames()
   frames512_ps = bench_frames(image_size=512, batch=64, rounds=16)
   image_env_sps = bench_image_env_steps()
+  try:
+    # Reference default imaging conditions: render 512^2, agent sees 128.
+    image_env_refcond_sps = bench_image_env_steps(
+        render_size=512, obs_size=128, batch=64, steps=16
+    )
+  except Exception:
+    image_env_refcond_sps = 0.0
   env_sps = bench_env_steps()
   try:
     learned_sps = bench_env_steps_learned()
@@ -266,6 +280,9 @@ def main():
       'stem_frames_128_per_sec': round(frames_ps, 1),
       'stem_frames_512_per_sec': round(frames512_ps, 1),
       'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
+      'image_env_steps_per_sec_refcond_512render_64envs': round(
+          image_env_refcond_sps, 1
+      ),
       'learned_rate_env_steps_per_sec_1024envs': round(learned_sps, 1),
       'stress_multidopant_drift_image_env_steps_per_sec_256envs': round(
           stress_sps, 1
