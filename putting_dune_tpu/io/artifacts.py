@@ -115,6 +115,82 @@ def unpack(archive_path: str, target_dir: str, verify: bool = True) -> str:
   return out_dir
 
 
+def resolve_artifact(uri: str, cache_dir: str = '') -> str:
+  """Resolves an artifact URI to a local model directory.
+
+  The reference registry downloads zipped SavedModels from GCS at
+  experiment-load time (reference experiments/registry.py:71-164); this
+  is the native equivalent over manifest-verified artifact bundles.
+  Supported forms:
+    * a local model DIRECTORY — returned as-is;
+    * a local .zip bundle or file://<path>.zip — unpacked (once) into the
+      cache and the extracted model dir returned;
+    * gs://bucket/path.zip or http(s)://... — downloaded into the cache
+      then unpacked. gs:// resolves through the public GCS HTTP endpoint
+      (no gcloud dependency). In a zero-egress environment the download
+      fails with a message naming the offline path (copy the bundle in,
+      then pass its local path).
+
+  Re-resolution is cheap: downloads and extractions are keyed by URI
+  hash and skipped when already present.
+  """
+  import urllib.parse
+  import urllib.request
+
+  if os.path.isdir(uri):
+    return uri
+  cache_dir = cache_dir or os.path.join(
+      os.path.expanduser('~'), '.cache', 'putting_dune_tpu', 'artifacts'
+  )
+  parsed = urllib.parse.urlparse(uri)
+  scheme = parsed.scheme
+
+  if scheme in ('', 'file'):
+    archive = parsed.path if scheme == 'file' else uri
+    if not os.path.exists(archive):
+      raise FileNotFoundError(f'No artifact at {archive!r}')
+  elif scheme in ('gs', 'http', 'https'):
+    if scheme == 'gs':
+      url = (
+          'https://storage.googleapis.com/'
+          f'{parsed.netloc}{parsed.path}'
+      )
+    else:
+      url = uri
+    os.makedirs(cache_dir, exist_ok=True)
+    key = hashlib.sha256(uri.encode()).hexdigest()[:16]
+    archive = os.path.join(
+        cache_dir, f'{key}-{os.path.basename(parsed.path)}'
+    )
+    if not os.path.exists(archive):
+      try:
+        urllib.request.urlretrieve(url, archive + '.tmp')
+      except Exception as e:
+        raise RuntimeError(
+            f'Could not download {uri!r} ({e}). In a zero-egress '
+            'environment, transfer the bundle by hand and pass its local '
+            'path (integrity is checked by the embedded sha256 manifest, '
+            'not the channel).'
+        ) from e
+      os.replace(archive + '.tmp', archive)
+  else:
+    raise ValueError(
+        f'Unsupported artifact URI scheme {scheme!r} in {uri!r}; expected '
+        'a local dir/zip, file://, gs://, or http(s)://.'
+    )
+
+  extract_root = os.path.join(
+      cache_dir, hashlib.sha256(os.path.abspath(archive).encode())
+      .hexdigest()[:16]
+  )
+  with zipfile.ZipFile(archive) as zf:
+    name = json.loads(zf.read(MANIFEST_NAME))['name']
+  model_dir = os.path.join(extract_root, name)
+  if os.path.isdir(model_dir) and os.listdir(model_dir):
+    return model_dir
+  return unpack(archive, extract_root)
+
+
 def main() -> None:
   parser = argparse.ArgumentParser(description=__doc__)
   sub = parser.add_subparsers(dest='cmd', required=True)
@@ -127,6 +203,12 @@ def main() -> None:
   p_unpack.add_argument(
       '--verify', action=argparse.BooleanOptionalAction, default=True
   )
+  p_fetch = sub.add_parser(
+      'fetch', help='Resolve a URI (dir / zip / file:// / gs:// / '
+      'http(s)://) to a local model dir.'
+  )
+  p_fetch.add_argument('--uri', required=True)
+  p_fetch.add_argument('--cache_dir', default='')
   args = parser.parse_args()
   if args.cmd == 'pack':
     manifest = pack(args.model_dir, args.archive)
@@ -134,6 +216,8 @@ def main() -> None:
         f"Packed {manifest['name']} ({len(manifest['files'])} files) "
         f'-> {args.archive}'
     )
+  elif args.cmd == 'fetch':
+    print(resolve_artifact(args.uri, cache_dir=args.cache_dir))
   else:
     out = unpack(args.archive, args.target_dir, verify=args.verify)
     print(f'Unpacked -> {out}')

@@ -112,15 +112,17 @@ class AtomicGrid(ProtoModel):
       return True
     # Match each of our atoms to other's nearest atom; require tight
     # positional agreement and equal species (reference :122-160).
-    d = np.linalg.norm(
-        self.atom_positions[:, None, :] - other.atom_positions[None, :, :],
-        axis=-1,
+    # A KD-tree keeps this O(N log N) — the pipelines ingest real scans
+    # far larger than the 2.8k-atom simulator grids.
+    from scipy import spatial
+
+    d, nearest = spatial.cKDTree(other.atom_positions).query(
+        self.atom_positions, k=1
     )
-    nearest = d.argmin(axis=1)
     if len(np.unique(nearest)) != self.num_atoms:
       return False
     return bool(
-        (d[np.arange(self.num_atoms), nearest] < 1e-6).all()
+        (d < 1e-6).all()
         and (self.atomic_numbers == other.atomic_numbers[nearest]).all()
     )
 

@@ -218,3 +218,43 @@ def test_artifact_pack_unpack_roundtrip(tmp_path):
     zf.writestr('../../escape.bin', b'!')
   with pytest.raises(ValueError, match='Unsafe path'):
     artifacts.unpack(evil, str(tmp_path / 'dest3'))
+
+
+def test_resolve_artifact_uris(tmp_path):
+  """URI-based artifact resolution (reference registry.py:71-164 pulls
+  zipped models from GCS at load time): local dirs pass through, local /
+  file:// zips unpack once into the cache, remote schemes fail with
+  actionable zero-egress guidance, junk schemes are rejected."""
+  import os
+
+  from putting_dune_tpu.io import artifacts
+
+  src = tmp_path / 'model'
+  src.mkdir()
+  (src / 'params.msgpack').write_bytes(b'weights')
+  archive = str(tmp_path / 'model.zip')
+  artifacts.pack(str(src), archive)
+  cache = str(tmp_path / 'cache')
+
+  # Local directory: identity.
+  assert artifacts.resolve_artifact(str(src), cache_dir=cache) == str(src)
+
+  # Local zip: unpacked into the cache, idempotent on re-resolution.
+  out = artifacts.resolve_artifact(archive, cache_dir=cache)
+  assert os.path.exists(os.path.join(out, 'params.msgpack'))
+  assert artifacts.resolve_artifact(archive, cache_dir=cache) == out
+
+  # file:// URI resolves to the same extraction.
+  assert artifacts.resolve_artifact(
+      f'file://{archive}', cache_dir=cache
+  ) == out
+
+  with pytest.raises(ValueError, match='scheme'):
+    artifacts.resolve_artifact('ftp://x/y.zip', cache_dir=cache)
+  with pytest.raises(FileNotFoundError):
+    artifacts.resolve_artifact(str(tmp_path / 'nope.zip'), cache_dir=cache)
+  # Remote download failure (zero-egress here) names the offline path.
+  with pytest.raises(RuntimeError, match='zero-egress'):
+    artifacts.resolve_artifact(
+        'gs://no-such-bucket-pdt/m.zip', cache_dir=cache
+    )
