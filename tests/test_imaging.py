@@ -181,6 +181,22 @@ def test_resize_bilinear_shape():
   assert out.shape == (3, 128, 128)
 
 
+def test_resize_bilinear_matches_jax_image_resize():
+  # The integer-factor strided fast path must be bit-identical to
+  # jax.image.resize(method='linear', antialias=False) — odd factor
+  # (384->128), even factor (512->128), identity, and the non-divisible
+  # fallback (129->64).
+  key = jax.random.PRNGKey(3)
+  for h, size in [(512, 128), (384, 128), (128, 128), (129, 64)]:
+    img = jax.random.uniform(key, (2, h, h))
+    got = np.asarray(render_lib.resize_bilinear(img, size))
+    want = np.asarray(
+        jax.image.resize(img, (2, size, size), method='linear',
+                         antialias=False)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_imaging_params_ranges():
   p = params_lib.sample_imaging_params(jax.random.PRNGKey(11), 64)
   assert (np.asarray(p.intensity_exponent) >= 1.4).all()
