@@ -29,21 +29,24 @@ _lib = None
 
 
 def _load_native():
-  """Loads (building if necessary) the native codec; None if unavailable."""
+  """Loads (building/refreshing if necessary) the native codec.
+
+  Always invokes make (a no-op when the .so is newer than its sources)
+  so source updates rebuild stale prebuilt libraries. Returns None when
+  no toolchain and no prebuilt .so exist.
+  """
   global _lib
   if _lib is not None:
     return _lib
+  if os.path.exists(os.path.join(_NATIVE_DIR, 'tfrecord.cc')):
+    try:
+      subprocess.run(
+          ['make', '-C', _NATIVE_DIR], check=True, capture_output=True
+      )
+    except Exception:  # pylint: disable=broad-except
+      pass  # fall through: a prebuilt .so may still be loadable.
   if not os.path.exists(_LIB_PATH):
-    src = os.path.join(_NATIVE_DIR, 'tfrecord.cc')
-    if os.path.exists(src):
-      try:
-        subprocess.run(
-            ['make', '-C', _NATIVE_DIR], check=True, capture_output=True
-        )
-      except Exception:  # pylint: disable=broad-except
-        return None
-    else:
-      return None
+    return None
   try:
     lib = ctypes.CDLL(_LIB_PATH)
   except OSError:
@@ -66,6 +69,13 @@ def _load_native():
       ctypes.c_int,
   ]
   lib.pd_tfrecord_read.restype = ctypes.c_int
+  if hasattr(lib, 'pd_highwayhash64'):  # riegeli hash (newer builds).
+    lib.pd_highwayhash64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64 * 4),
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+    ]
+    lib.pd_highwayhash64.restype = ctypes.c_uint64
   _lib = lib
   return lib
 
@@ -196,23 +206,16 @@ def read_records(path: str, record_cls: Optional[Type[T]] = None) -> List:
 #
 # The reference's upload pipeline writes riegeli records
 # (upload_microscope_data.py:32,223-244; default RecordWriter options =
-# brotli-compressed simple chunks). Policy:
-#   * READING .riegeli is native: io/riegeli_native.py parses the public
-#     chunk/block format directly with system-library decompression
-#     (brotli/zstd/snappy/none) — no riegeli package needed. Only
-#     transposed chunks (non-default transpose=true) still require the
-#     optional package, as does hash VERIFICATION (HighwayHash).
-#   * WRITING .riegeli requires the optional `riegeli` package (valid
-#     files need HighwayHash chunk hashes); without it, write tfrecords —
-#     the reference-side pipeline/convert_riegeli.py remains as a legacy
-#     bridge for producing .riegeli in the reference's own environment.
-
-
-_RIEGELI_WRITE_HELP = (
-    'writing riegeli requires the optional `riegeli` package (valid '
-    'files carry HighwayHash chunk hashes). Write .tfrecords instead — '
-    'this framework and any TFRecord tooling read them natively.'
-)
+# brotli-compressed simple chunks). Both directions are native here:
+#   * READING: io/riegeli_native.py parses the public chunk/block format
+#     directly with system-library decompression (brotli/zstd/snappy/
+#     none) and verifies every HighwayHash. Only transposed chunks
+#     (non-default transpose=true) still fall back to the optional
+#     riegeli package.
+#   * WRITING: io/riegeli_native.write_riegeli_records emits
+#     signature + simple chunks with real HighwayHash digests (native
+#     C++ hash, validated against the reference implementation) —
+#     files real riegeli readers accept; no riegeli package needed.
 
 
 def _riegeli_module():
@@ -239,10 +242,6 @@ def _read_riegeli(path: str) -> List[bytes]:
 
 
 def _write_riegeli(path: str, payloads: Sequence[bytes]) -> None:
-  riegeli = _riegeli_module()
-  if riegeli is None:
-    raise NotImplementedError(f'Cannot write {path}: {_RIEGELI_WRITE_HELP}')
-  with open(path, 'wb') as f:
-    with riegeli.RecordWriter(f) as writer:
-      for p in payloads:
-        writer.write_record(p)
+  from putting_dune_tpu.io import riegeli_native
+
+  riegeli_native.write_riegeli_records(path, payloads)

@@ -1,20 +1,16 @@
 """LEGACY: converts riegeli record files to/from TFRecord.
 
-READING reference-produced riegeli is now native — io/riegeli_native.py
-parses the chunk/block format directly (brotli/zstd/snappy via system
-libraries), so `read_records('x.riegeli')` works without this script or
-the riegeli package. This converter remains for two residual cases:
-transposed chunks (non-default RecordWriter transpose=true), and
-PRODUCING .riegeli files for reference tooling (valid files need
-HighwayHash chunk hashes, which only the riegeli package computes). Run
-it in an environment where `riegeli` is installed (e.g. the reference's
-own environment — records are rewrapped byte-for-byte without parsing):
+Both riegeli directions are now native — io/riegeli_native.py parses
+AND writes the chunk/block format directly (brotli/zstd/snappy via
+system libraries, real HighwayHash digests), so `read_records` /
+`write_records` on '.riegeli' paths work without this script or the
+riegeli package, in either direction. The one residual case that still
+needs the optional riegeli package is reading TRANSPOSED chunks
+(non-default RecordWriter transpose=true). This converter remains as a
+convenience CLI for bulk format conversion:
 
   python -m putting_dune_tpu.pipeline.convert_riegeli \
       --source_path=trajectories.riegeli --target_path=trajectories.tfrecords
-
-The reverse direction (.tfrecords -> .riegeli, for handing data back to
-reference tooling) works the same way and also requires `riegeli`.
 """
 
 from __future__ import annotations

@@ -3,9 +3,10 @@
 Parity: /root/reference/putting_dune/pipeline/upload_microscope_data.py:
 44-191 — parses the ORNL on-disk format (ADF/Label ndata1 stacks + JSON
 metadata), reconstructs per-frame FOVs from pixel shifts, attaches beam
-controls/dwell times, and emits Trajectory protos. Divergence: records are
-written to LOCAL .tfrecords (this environment is zero-egress; the
-reference uploads riegeli records to GCS).
+controls/dwell times, and emits Trajectory protos. Records are written LOCALLY (this
+environment is zero-egress; the reference uploads to GCS) as .tfrecords
+or — matching the reference format, written natively — .riegeli
+(--output_format=riegeli).
 
 CLI:
   python -m putting_dune_tpu.pipeline.import_microscope_data \
@@ -136,6 +137,15 @@ def main() -> None:
   parser = argparse.ArgumentParser(description=__doc__)
   parser.add_argument('--directory', required=True)
   parser.add_argument('--output_dir', required=True)
+  parser.add_argument(
+      '--output_format',
+      default='tfrecords',
+      choices=('tfrecords', 'riegeli'),
+      help=(
+          'Record format; riegeli matches the reference upload pipeline '
+          '(upload_microscope_data.py:223-244) and is written natively.'
+      ),
+  )
   args = parser.parse_args()
 
   root = pathlib.Path(args.directory)
@@ -147,7 +157,7 @@ def main() -> None:
   os.makedirs(args.output_dir, exist_ok=True)
   for dataset_path in paths:
     name = '-'.join(dataset_path.relative_to(root).parts) or 'dataset'
-    out = os.path.join(args.output_dir, f'{name}.tfrecords')
+    out = os.path.join(args.output_dir, f'{name}.{args.output_format}')
     try:
       trajectory = convert_dataset(*load_dataset(dataset_path))
     except (ValueError, KeyError) as e:

@@ -1,8 +1,12 @@
-"""Native riegeli reader: validated against files written by the REAL
-riegeli C++ writer (embedded in the array_record package) plus a
-checked-in golden file, covering all four compression modes, multi-block
-chunk spanning, and the io.records .riegeli read path (reference
-pipeline/upload_microscope_data.py:223-244)."""
+"""Native riegeli codec: the reader is validated against files written
+by the REAL riegeli C++ writer (embedded in the array_record package)
+plus a checked-in golden file, covering all four compression modes,
+multi-block chunk spanning, and the io.records .riegeli read path; the
+HighwayHash implementations (native C++ and pure Python) are validated
+against the reference HighwayHash64_Portable from the same wheel; and
+the native writer round-trips with verification on, matches the real
+writer byte-for-byte on the file prefix, and links block headers the
+way real readers seek (reference upload_microscope_data.py:223-244)."""
 
 import datetime as dt
 import os
@@ -80,9 +84,16 @@ def test_golden_file_trajectory_roundtrip():
 
 
 def test_rejects_non_riegeli():
-  with pytest.raises(rn.RiegeliFormatError, match='signature'):
+  # With verification on, an arbitrary file fails the block-header hash;
+  # with it off, the missing signature chunk is diagnosed.
+  with pytest.raises(rn.RiegeliFormatError, match='hash mismatch'):
     rn.read_riegeli_records(
         os.path.join(os.path.dirname(__file__), 'test_riegeli_native.py')
+    )
+  with pytest.raises(rn.RiegeliFormatError, match='signature'):
+    rn.read_riegeli_records(
+        os.path.join(os.path.dirname(__file__), 'test_riegeli_native.py'),
+        verify=False,
     )
 
 
@@ -96,16 +107,161 @@ def test_truncated_file(tmp_path):
     rn.read_riegeli_records(path)
 
 
-def test_write_riegeli_still_gated(tmp_path):
-  """Writing valid riegeli needs HighwayHash: without the optional
-  package it fails loudly with the tfrecords guidance."""
-  try:
-    import riegeli  # noqa: F401  # pytype: disable=import-error
+# --- HighwayHash ----------------------------------------------------------------
 
-    pytest.skip('riegeli package present: writing works natively')
-  except ImportError:
-    pass
-  with pytest.raises(NotImplementedError, match='tfrecords'):
-    records_lib.write_records(
-        str(tmp_path / 'x.riegeli'), [b'abc']
-    )
+
+def _oracle_hash64():
+  """The reference HighwayHash64_Portable embedded in the array_record
+  wheel (the same binary riegeli's own hashes were produced by)."""
+  import ctypes
+
+  mod = pytest.importorskip('array_record.python.array_record_module')
+  lib = ctypes.CDLL(mod.__file__)
+  fn = lib.HighwayHash64_Portable
+  fn.restype = ctypes.c_uint64
+  fn.argtypes = [
+      ctypes.POINTER(ctypes.c_uint64 * 4), ctypes.c_char_p, ctypes.c_uint64
+  ]
+
+  def call(key, data):
+    ckey = (ctypes.c_uint64 * 4)(*key)
+    return int(fn(ctypes.byref(ckey), data, len(data)))
+
+  return call
+
+
+def test_highwayhash_matches_reference_implementation():
+  """Native and pure-Python HighwayHash-64 agree with the reference
+  portable implementation across packet/remainder size classes and
+  random keys."""
+  oracle = _oracle_hash64()
+  rng = np.random.default_rng(7)
+  sizes = [0, 1, 3, 4, 15, 16, 17, 31, 32, 33, 63, 64, 65, 100, 1000]
+  for size in sizes:
+    data = rng.bytes(size)
+    key = tuple(int(x) for x in rng.integers(0, 2**63, 4))
+    want = oracle(key, data)
+    assert rn.highwayhash64(data, key) == want, size
+    assert rn._highwayhash64_py(data, key) == want, size
+
+
+def test_stored_hashes_in_real_riegeli_files_verify():
+  """Key + coverage are right: every hash stored by the real riegeli
+  C++ writer (golden file) verifies."""
+  assert rn.read_riegeli_records(GOLDEN, verify=True)
+
+
+# --- native writer ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    'compression', ['uncompressed', 'brotli', 'zstd', 'snappy']
+)
+def test_native_writer_roundtrip(tmp_path, compression):
+  rng = np.random.default_rng(3)
+  payloads = [rng.bytes(int(n)) for n in rng.integers(0, 500, 50)]
+  path = str(tmp_path / f'w_{compression}.riegeli')
+  rn.write_riegeli_records(path, payloads, compression=compression)
+  assert rn.read_riegeli_records(path, verify=True) == payloads
+
+
+def test_native_writer_multiblock(tmp_path):
+  """Files spanning several 64 KiB blocks (chunks interrupted by block
+  headers) round-trip with hash verification on."""
+  rng = np.random.default_rng(4)
+  payloads = [rng.bytes(3000) for _ in range(100)]
+  path = str(tmp_path / 'big.riegeli')
+  rn.write_riegeli_records(
+      path, payloads, compression='uncompressed', chunk_target_bytes=10**9
+  )
+  assert os.path.getsize(path) > rn.BLOCK_SIZE
+  assert rn.read_riegeli_records(path, verify=True) == payloads
+
+
+def test_native_writer_prefix_matches_real_writer(tmp_path):
+  """The first 64 bytes (block header + signature chunk) are
+  byte-identical to the real riegeli C++ writer's output."""
+  path = str(tmp_path / 'sig.riegeli')
+  rn.write_riegeli_records(path, [b'x'], compression='uncompressed')
+  with open(path, 'rb') as f:
+    mine = f.read(64)
+  with open(GOLDEN, 'rb') as f:
+    real = f.read(64)
+  assert mine == real
+
+
+def test_native_writer_block_header_links(tmp_path):
+  """previous_chunk/next_chunk distances in written block headers point
+  at actual chunk boundaries (the fields real readers seek by)."""
+  import struct
+
+  rng = np.random.default_rng(5)
+  path = str(tmp_path / 'links.riegeli')
+  rn.write_riegeli_records(
+      path,
+      [rng.bytes(3000) for _ in range(60)],
+      compression='uncompressed',
+      chunk_target_bytes=16000,
+  )
+  with open(path, 'rb') as f:
+    buf = f.read()
+  assert len(buf) > 2 * rn.BLOCK_SIZE
+  # Recover true boundaries by walking the chunk stream.
+  boundaries = []
+  pos = 0
+  while pos < len(buf):
+    boundary = pos  # a chunk starting right after a block header has its
+    pos = rn._skip_block_header(pos)  # boundary AT the header position.
+    if pos >= len(buf):
+      break
+    boundaries.append(boundary)
+    header, after = rn._logical_read(buf, pos, rn.CHUNK_HEADER_SIZE)
+    data_size = struct.unpack('<Q', header[8:16])[0]
+    _, pos = rn._logical_read(buf, after, data_size)
+  ends = boundaries + [len(buf)]
+  for block in range(0, len(buf), rn.BLOCK_SIZE):
+    _, prev, nxt = struct.unpack('<QQQ', buf[block:block + 24])
+    assert prev == block - max(b for b in boundaries if b <= block)
+    assert nxt == min(e for e in ends if e > block) - block
+
+
+def test_corruption_detected(tmp_path):
+  rng = np.random.default_rng(6)
+  payloads = [rng.bytes(200) for _ in range(20)]
+  path = str(tmp_path / 'c.riegeli')
+  rn.write_riegeli_records(path, payloads, compression='zstd')
+  buf = bytearray(open(path, 'rb').read())
+  buf[len(buf) // 2] ^= 0xFF
+  bad = str(tmp_path / 'bad.riegeli')
+  with open(bad, 'wb') as f:
+    f.write(bytes(buf))
+  with pytest.raises(rn.RiegeliFormatError, match='hash mismatch'):
+    rn.read_riegeli_records(bad, verify=True)
+
+
+def test_write_records_riegeli_dispatch(tmp_path):
+  """records.write_records('.riegeli') works with no riegeli package:
+  Trajectory protos round-trip through a natively-written file."""
+  import datetime as dt
+
+  from putting_dune_tpu import microscope_data as md
+
+  obs = md.MicroscopeObservation(
+      grid=md.AtomicGrid(
+          np.asarray([[0.0, 0.0], [1.42, 0.0]]), np.asarray([6, 14])
+      ),
+      fov=md.MicroscopeFieldOfView(
+          np.asarray([0.0, 0.0]), np.asarray([20.0, 20.0])
+      ),
+      controls=(),
+      elapsed_time=dt.timedelta(seconds=3.0),
+  )
+  traj = md.Trajectory(observations=[obs, obs])
+  path = str(tmp_path / 'traj.riegeli')
+  records_lib.write_records(path, [traj])
+  back = records_lib.read_records(path, md.Trajectory)
+  assert len(back) == 1
+  assert len(back[0].observations) == 2
+  np.testing.assert_array_equal(
+      back[0].observations[0].grid.atomic_numbers, [6, 14]
+  )
