@@ -345,6 +345,10 @@ def evaluate_batched(
     from putting_dune_tpu.parallel import mesh as mesh_lib
 
     carry = mesh_lib.shard_batch(carry, mesh)
+  # Compile BEFORE starting the wall clock: the budget covers agent
+  # compute + simulated time (reference eval_lib.py:128-144), never XLA
+  # compilation — a cold compile cache must not truncate episodes.
+  run_chunk.lower(carry, jnp.float32(0.0)).compile()
   t_start = time.perf_counter()
   while True:
     wall = time.perf_counter() - t_start

@@ -115,7 +115,9 @@ def unpack(archive_path: str, target_dir: str, verify: bool = True) -> str:
   return out_dir
 
 
-def resolve_artifact(uri: str, cache_dir: str = '') -> str:
+def resolve_artifact(
+    uri: str, cache_dir: str = '', refresh: bool = False
+) -> str:
   """Resolves an artifact URI to a local model directory.
 
   The reference registry downloads zipped SavedModels from GCS at
@@ -131,8 +133,11 @@ def resolve_artifact(uri: str, cache_dir: str = '') -> str:
       fails with a message naming the offline path (copy the bundle in,
       then pass its local path).
 
-  Re-resolution is cheap: downloads and extractions are keyed by URI
-  hash and skipped when already present.
+  Re-resolution is cheap: extractions are keyed by the archive's
+  identity (path + size + mtime), so a re-packed local bundle at the
+  same path re-extracts automatically. Remote downloads are keyed by
+  URI and treated as immutable; pass refresh=True to force a
+  re-download when the remote bundle has changed.
   """
   import urllib.parse
   import urllib.request
@@ -162,6 +167,8 @@ def resolve_artifact(uri: str, cache_dir: str = '') -> str:
     archive = os.path.join(
         cache_dir, f'{key}-{os.path.basename(parsed.path)}'
     )
+    if refresh and os.path.exists(archive):
+      os.remove(archive)
     if not os.path.exists(archive):
       try:
         urllib.request.urlretrieve(url, archive + '.tmp')
@@ -179,9 +186,15 @@ def resolve_artifact(uri: str, cache_dir: str = '') -> str:
         'a local dir/zip, file://, gs://, or http(s)://.'
     )
 
+  # Key the extraction by the archive's content identity (path + size +
+  # mtime), not its path alone: a re-packed bundle at the same path must
+  # not resolve to the stale extraction.
+  st = os.stat(archive)
+  extract_key = (
+      f'{os.path.abspath(archive)}:{st.st_size}:{st.st_mtime_ns}'
+  )
   extract_root = os.path.join(
-      cache_dir, hashlib.sha256(os.path.abspath(archive).encode())
-      .hexdigest()[:16]
+      cache_dir, hashlib.sha256(extract_key.encode()).hexdigest()[:16]
   )
   with zipfile.ZipFile(archive) as zf:
     name = json.loads(zf.read(MANIFEST_NAME))['name']

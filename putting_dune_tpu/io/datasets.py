@@ -67,8 +67,15 @@ def write_examples(
     *,
     examples_per_shard: int = 256,
 ) -> List[str]:
-  """Materializes examples as sharded TFRecord files; returns shard paths."""
+  """Materializes examples as sharded TFRecord files; returns shard paths.
+
+  Pre-existing shards in the directory are removed first: a smaller
+  re-materialization must not leave stale high-numbered shards mixed
+  into the new dataset.
+  """
   os.makedirs(records_dir, exist_ok=True)
+  for stale in glob.glob(os.path.join(records_dir, _SHARD_GLOB)):
+    os.remove(stale)
   paths: List[str] = []
   pending: List[bytes] = []
 
@@ -99,7 +106,7 @@ def shard_paths(records_dir: str) -> List[str]:
 
 def count_examples(records_dir: str) -> int:
   return sum(
-      len(records_lib.read_tfrecords(p)) for p in shard_paths(records_dir)
+      records_lib.count_tfrecords(p) for p in shard_paths(records_dir)
   )
 
 
@@ -152,8 +159,9 @@ def records_iterator(
     process_count = jax.process_count()
 
   paths = shard_paths(records_dir)
-  # Global index base per shard, fixed by sorted order (not shuffle order).
-  shard_sizes = [len(records_lib.read_tfrecords(p)) for p in paths]
+  # Global index base per shard, fixed by sorted order (not shuffle
+  # order); the native header scan counts without decoding payloads.
+  shard_sizes = [records_lib.count_tfrecords(p) for p in paths]
   bases = np.concatenate([[0], np.cumsum(shard_sizes)])[:-1]
   rng = np.random.default_rng(seed)
 
@@ -193,12 +201,26 @@ def records_iterator(
 
 
 def split_dir(records_dir: str, split: str) -> str:
-  """Resolves a split subdirectory: `<dir>/<split>` if present, else the
-  dataset root (small datasets may ship a single unsplit directory)."""
+  """Resolves a split subdirectory.
+
+  Layout convention (module docstring): train shards live at the dataset
+  ROOT, held-out splits in `<dir>/<split>/` subdirectories. 'train'
+  therefore falls back to the root when no `train/` subdir exists; a
+  missing held-out split is an ERROR — silently serving root (train)
+  shards as eval data would invisibly inflate eval metrics and
+  best-checkpoint selection.
+  """
   candidate = os.path.join(records_dir, split)
   if glob.glob(os.path.join(candidate, _SHARD_GLOB)):
     return candidate
-  return records_dir
+  if split == 'train':
+    return records_dir
+  raise FileNotFoundError(
+      f'Dataset {records_dir!r} has no {split!r} split (no {_SHARD_GLOB} '
+      f'under {candidate!r}). Materialize the split (write_dataset '
+      'helpers write test/ alongside the train shards) or evaluate on '
+      'synthetic data.'
+  )
 
 
 def parse_data_source(data_source: str) -> Optional[str]:

@@ -26,23 +26,34 @@ _NATIVE_DIR = os.path.join(
 )
 _LIB_PATH = os.path.join(_NATIVE_DIR, 'libpdtfrecord.so')
 _lib = None
+_load_attempted = False
 
 
 def _load_native():
   """Loads (building/refreshing if necessary) the native codec.
 
-  Always invokes make (a no-op when the .so is newer than its sources)
-  so source updates rebuild stale prebuilt libraries. Returns None when
-  no toolchain and no prebuilt .so exist.
+  Invokes make ONCE per process (a no-op when the .so is newer than its
+  sources) so source updates rebuild stale prebuilt libraries; the build
+  is serialized across processes with an advisory lock (run_tests.py -j N
+  spawns fresh interpreters — two unsynchronized g++ runs writing the
+  shared .so would corrupt it; the Makefile also renames into place so
+  readers never see a partial file). Returns None when no toolchain and
+  no prebuilt .so exist; the doomed-build case is not retried on every
+  call.
   """
-  global _lib
-  if _lib is not None:
+  global _lib, _load_attempted
+  if _load_attempted:
     return _lib
+  _load_attempted = True
   if os.path.exists(os.path.join(_NATIVE_DIR, 'tfrecord.cc')):
     try:
-      subprocess.run(
-          ['make', '-C', _NATIVE_DIR], check=True, capture_output=True
-      )
+      import fcntl
+
+      with open(os.path.join(_NATIVE_DIR, '.build.lock'), 'w') as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        subprocess.run(
+            ['make', '-C', _NATIVE_DIR], check=True, capture_output=True
+        )
     except Exception:  # pylint: disable=broad-except
       pass  # fall through: a prebuilt .so may still be loadable.
   if not os.path.exists(_LIB_PATH):
@@ -134,6 +145,20 @@ def write_tfrecords(path: str, payloads: Sequence[bytes]) -> None:
     first = False
   if first:  # no records: still truncate/create the file
     open(path, 'wb').close()
+
+
+def count_tfrecords(path: str) -> int:
+  """Counts records without copying payloads (native header scan)."""
+  lib = _load_native()
+  if lib is None:
+    return sum(1 for _ in _read_tfrecords_py(path))
+  num = ctypes.c_uint64()
+  total = ctypes.c_uint64()
+  rc = lib.pd_tfrecord_scan(path.encode(), ctypes.byref(num),
+                            ctypes.byref(total))
+  if rc != 0:
+    raise IOError(f'native tfrecord scan failed (rc={rc}) for {path}')
+  return int(num.value)
 
 
 def read_tfrecords(path: str, verify_crc: bool = True) -> List[bytes]:

@@ -537,7 +537,9 @@ def _resolve_compression(compression: Optional[str]) -> int:
 
   The reference writes with default RecordWriter options = brotli
   (upload_microscope_data.py:223-244); without libbrotlienc the file is
-  written uncompressed (still a valid riegeli file).
+  written uncompressed (still a valid riegeli file). An EXPLICITLY
+  requested compression whose system library is missing raises a
+  precise RuntimeError rather than silently downgrading.
   """
   if compression is None:
     return (
@@ -546,12 +548,19 @@ def _resolve_compression(compression: Optional[str]) -> int:
         else COMPRESSION_NONE
     )
   try:
-    return _COMPRESSION_BY_NAME[compression]
+    code = _COMPRESSION_BY_NAME[compression]
   except KeyError:
     raise ValueError(
         f'unknown riegeli compression {compression!r}; one of '
         f'{sorted(_COMPRESSION_BY_NAME)}'
     ) from None
+  if code != COMPRESSION_NONE and _COMPRESSORS[code](b'probe') is None:
+    raise RuntimeError(
+        f'riegeli compression {compression!r} was requested but its '
+        'system compression library is not installed; install it or '
+        "use compression='uncompressed'."
+    )
+  return code
 
 
 def _encode_simple_chunk(

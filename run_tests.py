@@ -21,13 +21,11 @@ import argparse
 import concurrent.futures
 import glob
 import os
-import re
 import subprocess
 import sys
 import time
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-_SUMMARY_RE = re.compile(r'(\d+) (passed|failed|error|skipped)')
 
 
 def run_file(path: str, pytest_args: list[str]) -> tuple[str, int, str, float]:
@@ -51,10 +49,8 @@ def main() -> int:
   parser.add_argument('-j', '--jobs', type=int, default=1,
                       help='concurrent files (default 1: serial — CPU '
                            'contention makes parallel runs slower per file)')
-  parser.add_argument('pytest_args', nargs='*', default=[],
-                      help='extra pytest args after --')
-  # argparse can't express "files then -- then pytest args" cleanly; split
-  # manually on the first '--'.
+  # Extra pytest args come after '--' (argparse can't express "files then
+  # -- then pytest args" cleanly; split manually).
   argv = sys.argv[1:]
   extra: list[str] = []
   if '--' in argv:

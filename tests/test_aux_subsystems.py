@@ -258,3 +258,31 @@ def test_resolve_artifact_uris(tmp_path):
     artifacts.resolve_artifact(
         'gs://no-such-bucket-pdt/m.zip', cache_dir=cache
     )
+
+
+def test_resolve_artifact_repack_invalidates_cache(tmp_path):
+  """Re-packing a bundle at the same path must re-extract — the cache is
+  keyed by archive identity (size+mtime), not path alone, so stale
+  weights are never silently served."""
+  import os
+
+  from putting_dune_tpu.io import artifacts
+
+  src = tmp_path / 'model'
+  src.mkdir()
+  (src / 'params.msgpack').write_bytes(b'v1-weights')
+  archive = str(tmp_path / 'model.zip')
+  artifacts.pack(str(src), archive)
+  cache = str(tmp_path / 'cache')
+  out1 = artifacts.resolve_artifact(archive, cache_dir=cache)
+  assert open(os.path.join(out1, 'params.msgpack'), 'rb').read() == (
+      b'v1-weights'
+  )
+
+  (src / 'params.msgpack').write_bytes(b'v2-weights-longer')
+  artifacts.pack(str(src), archive)
+  os.utime(archive, ns=(1, 1))  # force a distinct mtime even on fast FS
+  out2 = artifacts.resolve_artifact(archive, cache_dir=cache)
+  assert open(os.path.join(out2, 'params.msgpack'), 'rb').read() == (
+      b'v2-weights-longer'
+  )

@@ -48,6 +48,29 @@ def test_write_read_sharded(tmp_path):
   ids = [int(e['i'][0]) for e in datasets.iterate_examples(d)]
   assert ids == list(range(10))
 
+  # A smaller re-materialization replaces the dataset: stale
+  # high-numbered shards from the first write must not survive.
+  datasets.write_examples(d, _toy_examples(5), examples_per_shard=4)
+  assert datasets.count_examples(d) == 5
+  assert [int(e['i'][0]) for e in datasets.iterate_examples(d)] == [
+      0, 1, 2, 3, 4
+  ]
+
+
+def test_split_dir_resolution(tmp_path):
+  d = str(tmp_path / 'ds')
+  datasets.write_examples(d, _toy_examples(4), examples_per_shard=4)
+  # Convention: train shards at the root, held-out splits in subdirs.
+  assert datasets.split_dir(d, 'train') == d
+  import pytest
+
+  with pytest.raises(FileNotFoundError, match='test'):
+    datasets.split_dir(d, 'test')  # missing eval split must NOT fall
+    # back to the training shards (silent eval-on-train).
+  test_d = os.path.join(d, 'test')
+  datasets.write_examples(test_d, _toy_examples(2), examples_per_shard=4)
+  assert datasets.split_dir(d, 'test') == test_d
+
 
 def test_records_iterator_batches_and_shuffle(tmp_path):
   d = str(tmp_path / 'ds')

@@ -25,10 +25,20 @@ def _writer(path, options):
   return mod.ArrayRecordWriter(path, options)
 
 
+def _require_compressor(compression):
+  """Skips when the system (de)compression library is unavailable."""
+  code = rn._COMPRESSION_BY_NAME[compression]
+  if code == rn.COMPRESSION_NONE:
+    return
+  if rn._COMPRESSORS[code](b'probe') is None:
+    pytest.skip(f'system {compression} library not installed')
+
+
 @pytest.mark.parametrize(
     'compression', ['uncompressed', 'brotli', 'zstd', 'snappy']
 )
 def test_reads_real_riegeli_chunks(tmp_path, compression):
+  _require_compressor(compression)
   payloads = [f'record-{i}-payload'.encode() * 3 for i in range(7)]
   path = str(tmp_path / f'{compression}.riegeli')
   writer = _writer(path, compression)
@@ -158,6 +168,7 @@ def test_stored_hashes_in_real_riegeli_files_verify():
     'compression', ['uncompressed', 'brotli', 'zstd', 'snappy']
 )
 def test_native_writer_roundtrip(tmp_path, compression):
+  _require_compressor(compression)
   rng = np.random.default_rng(3)
   payloads = [rng.bytes(int(n)) for n in rng.integers(0, 500, 50)]
   path = str(tmp_path / f'w_{compression}.riegeli')
@@ -225,7 +236,21 @@ def test_native_writer_block_header_links(tmp_path):
     assert nxt == min(e for e in ends if e > block) - block
 
 
+def test_explicit_compression_missing_lib_errors(tmp_path, monkeypatch):
+  """An explicitly requested compression whose system library is absent
+  fails with a precise message, never a TypeError or a silent
+  uncompressed downgrade."""
+  monkeypatch.setitem(
+      rn._COMPRESSORS, rn.COMPRESSION_SNAPPY, lambda data: None
+  )
+  with pytest.raises(RuntimeError, match='snappy'):
+    rn.write_riegeli_records(
+        str(tmp_path / 'x.riegeli'), [b'x'], compression='snappy'
+    )
+
+
 def test_corruption_detected(tmp_path):
+  _require_compressor('zstd')
   rng = np.random.default_rng(6)
   payloads = [rng.bytes(200) for _ in range(20)]
   path = str(tmp_path / 'c.riegeli')
