@@ -234,9 +234,10 @@ def read_records(path: str, record_cls: Optional[Type[T]] = None) -> List:
 # brotli-compressed simple chunks). Both directions are native here:
 #   * READING: io/riegeli_native.py parses the public chunk/block format
 #     directly with system-library decompression (brotli/zstd/snappy/
-#     none) and verifies every HighwayHash. Only transposed chunks
-#     (non-default transpose=true) still fall back to the optional
-#     riegeli package.
+#     none), verifies every HighwayHash, and decodes BOTH simple and
+#     transposed chunks. The optional riegeli package is only consulted
+#     for constructs the native decoder rejects as unsupported
+#     (deprecated proto group wiretypes inside transposed chunks).
 #   * WRITING: io/riegeli_native.write_riegeli_records emits
 #     signature + simple chunks with real HighwayHash digests (native
 #     C++ hash, validated against the reference implementation) —
@@ -257,7 +258,8 @@ def _read_riegeli(path: str) -> List[bytes]:
   try:
     return riegeli_native.read_riegeli_records(path)
   except NotImplementedError:
-    # Transposed chunks: only the real riegeli package decodes them.
+    # Constructs the native decoder deliberately rejects (deprecated
+    # proto group wiretypes in transposed chunks): try the real package.
     riegeli = _riegeli_module()
     if riegeli is None:
       raise

@@ -17,12 +17,17 @@ This module parses and emits the public riegeli file format directly:
     the concatenated record values. Compressed blocks are framed as
     varint(uncompressed_size) + raw compressed stream, sizes and values
     compressed independently;
+  * transposed chunks (type 't'; RecordWriter transpose=true) store
+    proto records column-wise and are decoded by replaying the
+    encoder's state machine backward (see the transposed-chunks section
+    below for the reverse-engineered layout);
   * signature ('s'), file-metadata ('m') and padding ('p') chunks carry
     no records.
 
 The layout above was validated byte-for-byte against files produced by
 the real riegeli C++ writer (via the array_record package, which embeds
-it) in uncompressed and brotli modes — see tests/test_riegeli_native.py.
+it) across all four compression modes, simple and transposed — see
+tests/test_riegeli_native.py (incl. random-proto round-trip fuzzing).
 
 HighwayHash-64 (the digest riegeli headers carry) is implemented twice —
 native C++ (native/riegeli_hash.cc, vendored google/highwayhash portable
@@ -31,9 +36,6 @@ HighwayHash64_Portable embedded in the array_record wheel. Reading
 verifies every hash by default; write_riegeli_records emits files real
 riegeli readers accept.
 
-Deliberate limits (each fails loudly):
-  * transposed chunks (type 't'; non-default RecordWriter transpose=true)
-    are not decoded.
 (De)compression uses the system brotli / zstd / snappy libraries via
 ctypes; a missing library fails with a precise message (writing falls
 back to uncompressed only when no compression was explicitly requested).
@@ -425,16 +427,308 @@ def _decode_simple_chunk(
   return records
 
 
+# --- transposed chunks ---------------------------------------------------------
+#
+# Transposed chunks (type 't', RecordWriter transpose=true) store proto
+# records COLUMN-WISE: each distinct (message path, field tag, encoding)
+# gets a state-machine node whose values across records live in one
+# buffer; records are reconstructed by running the state machine
+# backward (riegeli writes them with a backward writer, so buffers and
+# the record sequence are back-to-front). The layout below was
+# reverse-engineered from files produced by the real riegeli C++ writer
+# (array_record wheel) over controlled inputs and is validated by
+# round-trip fuzzing in tests/test_riegeli_native.py:
+#
+#   chunk data: compression_type (byte), varint header_size, header
+#   block, then the buckets (bucket_sizes[i] bytes each), then the
+#   transitions block (to end of data). Header/buckets/transitions are
+#   standard compressed blocks (varint decoded size + stream; raw when
+#   compression is none).
+#
+#   header: num_buckets, num_buffers, bucket_sizes[num_buckets]
+#   (compressed byte counts), buffer_sizes[num_buffers] (decoded byte
+#   counts; buffers fill buckets greedily in order), num_nodes N, then
+#   N node tags, N node "next" codes, one subtype byte per varint
+#   (wiretype-0) node, one buffer index per buffer-consuming node, and
+#   the initial node index.
+#
+#   node tags: proto tag varints (>= 8) act on the wire tag; wiretype 6
+#   (invalid in proto) marks "this length-delimited field is encoded as
+#   a submessage" (real wiretype 2). Special ids: 0 = no-op,
+#   1 = non-proto record (data buffer at index, record sizes in the
+#   NEXT buffer), 2 = submessage start (emits tag + length), 3 = record
+#   boundary.
+#
+#   node next codes: v >= N jumps statically to node v - N; v < N makes
+#   the node DYNAMIC: it consumes a transition byte b and jumps to node
+#   v + (b >> 2), then serves the next (b & 3) consultations with
+#   delta 0 before reading another byte.
+#
+#   varint subtypes: 0..9 = value spans subtype+1 buffer bytes with
+#   continuation bits stripped (the decoder restores them);
+#   0x0a + v = value v inlined, no buffer bytes.
+
+_WT_VARINT, _WT_FIXED64, _WT_DELIMITED, _WT_FIXED32 = 0, 1, 2, 5
+_WT_SUBMESSAGE = 6  # riegeli-private marker, not a real proto wiretype
+_NODE_NOOP, _NODE_NONPROTO, _NODE_SUBMSG_START, _NODE_RECORD = 0, 1, 2, 3
+_SUBTYPE_INLINE_BASE = 0x0A
+
+
+def _encode_varint(n: int) -> bytes:
+  out = bytearray()
+  while True:
+    byte = n & 0x7F
+    n >>= 7
+    if n:
+      out.append(byte | 0x80)
+    else:
+      out.append(byte)
+      return bytes(out)
+
+
+class _BufferStream:
+  __slots__ = ('data', 'pos')
+
+  def __init__(self, data: bytes):
+    self.data = data
+    self.pos = 0
+
+  def read(self, n: int) -> bytes:
+    piece = self.data[self.pos:self.pos + n]
+    if len(piece) < n:
+      raise RiegeliFormatError('transposed chunk: buffer underrun')
+    self.pos += n
+    return piece
+
+  def read_varint(self) -> int:
+    value, self.pos = _read_varint(self.data, self.pos)
+    return value
+
+
+def _decode_transposed_chunk(
+    data: bytes, num_records: int, decoded_data_size: int
+) -> List[bytes]:
+  """Decodes a transposed chunk's data into its records (chunk type 't')."""
+  if not data:
+    raise RiegeliFormatError('empty transposed chunk')
+  compression = data[0]
+  header_size, pos = _read_varint(data, 1)
+  header, _ = _decompress_block(compression, data, pos, pos + header_size)
+  pos += header_size
+
+  h = 0
+  num_buckets, h = _read_varint(header, h)
+  num_buffers, h = _read_varint(header, h)
+  bucket_sizes = []
+  for _ in range(num_buckets):
+    size, h = _read_varint(header, h)
+    bucket_sizes.append(size)
+  buffer_sizes = []
+  for _ in range(num_buffers):
+    size, h = _read_varint(header, h)
+    buffer_sizes.append(size)
+
+  # Decompress buckets and split them into buffers: buffers fill each
+  # bucket greedily in order (a bucket's decoded size is an exact sum of
+  # consecutive buffer sizes).
+  buffers: List[_BufferStream] = []
+  next_buffer = 0
+  for size in bucket_sizes:
+    bucket, _ = _decompress_block(compression, data, pos, pos + size)
+    pos += size
+    off = 0
+    while next_buffer < num_buffers and (
+        off + buffer_sizes[next_buffer] <= len(bucket)
+    ):
+      take = buffer_sizes[next_buffer]
+      buffers.append(_BufferStream(bucket[off:off + take]))
+      off += take
+      next_buffer += 1
+      if off == len(bucket) and not (
+          next_buffer < num_buffers and buffer_sizes[next_buffer] == 0
+      ):
+        break
+    if off != len(bucket):
+      raise RiegeliFormatError(
+          'transposed chunk: bucket does not split into whole buffers'
+      )
+  if next_buffer != num_buffers:
+    raise RiegeliFormatError('transposed chunk: missing buffers')
+
+  num_nodes, h = _read_varint(header, h)
+  tags = []
+  for _ in range(num_nodes):
+    tag, h = _read_varint(header, h)
+    tags.append(tag)
+  nexts = []
+  for _ in range(num_nodes):
+    nxt, h = _read_varint(header, h)
+    nexts.append(nxt)
+  subtypes: List[Optional[int]] = []
+  for tag in tags:
+    if tag >= 8 and tag & 7 == _WT_VARINT:
+      if h >= len(header):
+        raise RiegeliFormatError('transposed chunk: truncated subtypes')
+      subtypes.append(header[h])
+      h += 1
+    else:
+      subtypes.append(None)
+  node_buffers: List[Optional[_BufferStream]] = []
+  nonproto_sizes = {}
+  for i, (tag, subtype) in enumerate(zip(tags, subtypes)):
+    needs_buffer = (
+        tag == _NODE_NONPROTO
+        or (
+            tag >= 8
+            and (
+                (tag & 7 == _WT_VARINT and subtype < _SUBTYPE_INLINE_BASE)
+                or tag & 7 in (_WT_FIXED64, _WT_DELIMITED, _WT_FIXED32)
+            )
+        )
+    )
+    if needs_buffer:
+      index, h = _read_varint(header, h)
+      if index >= num_buffers:
+        raise RiegeliFormatError('transposed chunk: buffer index range')
+      node_buffers.append(buffers[index])
+      if tag == _NODE_NONPROTO:
+        # Non-proto nodes read record bytes from buffer[index] and the
+        # per-record sizes from the buffer AFTER it.
+        if index + 1 >= num_buffers:
+          raise RiegeliFormatError('transposed chunk: nonproto buffers')
+        nonproto_sizes[i] = buffers[index + 1]
+    else:
+      node_buffers.append(None)
+  init_node, h = _read_varint(header, h)
+  if init_node >= num_nodes:
+    raise RiegeliFormatError('transposed chunk: initial node out of range')
+
+  transitions, _ = _decompress_block(compression, data, pos, len(data))
+
+  # Run the state machine. Records come out back-to-front; each record's
+  # pieces are collected in visit order and reversed on finalize (the
+  # writer used a backward writer throughout).
+  records: List[bytes] = []
+  pieces: List[bytes] = []
+  piece_bytes = 0
+  submsg_stack: List[Tuple[int, int]] = []  # (real tag value, bytes mark)
+  tpos = 0
+  pending = 0
+
+  def finalize():
+    nonlocal pieces, piece_bytes
+    if submsg_stack:
+      raise RiegeliFormatError('transposed chunk: unterminated submessage')
+    pieces.reverse()
+    records.append(b''.join(pieces))
+    pieces = []
+    piece_bytes = 0
+
+  node = init_node
+  guard = 0
+  max_steps = 8 * (num_records + decoded_data_size + 16)
+  while len(records) < num_records:
+    guard += 1
+    if guard > max_steps:
+      raise RiegeliFormatError('transposed chunk: state machine ran away')
+    tag = tags[node]
+    if tag >= 8:
+      wiretype = tag & 7
+      if wiretype == _WT_VARINT:
+        subtype = subtypes[node]
+        if subtype >= _SUBTYPE_INLINE_BASE:
+          piece = _encode_varint(tag) + bytes(
+              [subtype - _SUBTYPE_INLINE_BASE]
+          )
+        else:
+          raw = bytearray(node_buffers[node].read(subtype + 1))
+          for i in range(len(raw) - 1):  # restore continuation bits
+            raw[i] |= 0x80
+          piece = _encode_varint(tag) + bytes(raw)
+      elif wiretype == _WT_FIXED64:
+        piece = _encode_varint(tag) + node_buffers[node].read(8)
+      elif wiretype == _WT_FIXED32:
+        piece = _encode_varint(tag) + node_buffers[node].read(4)
+      elif wiretype == _WT_DELIMITED:
+        stream = node_buffers[node]
+        length = stream.read_varint()
+        piece = (
+            _encode_varint(tag) + _encode_varint(length)
+            + stream.read(length)
+        )
+      elif wiretype == _WT_SUBMESSAGE:
+        # Marks the END (in record order) of a length-delimited field
+        # encoded as a submessage; emits nothing, notes the position.
+        submsg_stack.append(((tag & ~7) | _WT_DELIMITED, piece_bytes))
+        piece = b''
+      else:
+        # Proto group wiretypes (3/4, deprecated since proto2) were never
+        # observed from the real writer; fail as unsupported (callers may
+        # fall back to the optional riegeli package) rather than corrupt.
+        raise NotImplementedError(
+            f'transposed chunk: unsupported wiretype {wiretype} '
+            f'(tag {tag})'
+        )
+      pieces.append(piece)
+      piece_bytes += len(piece)
+    elif tag == _NODE_RECORD:
+      finalize()
+    elif tag == _NODE_NONPROTO:
+      size = nonproto_sizes[node].read_varint()
+      pieces.append(node_buffers[node].read(size))
+      piece_bytes += size
+      finalize()
+    elif tag == _NODE_SUBMSG_START:
+      if not submsg_stack:
+        raise RiegeliFormatError('transposed chunk: submessage underflow')
+      real_tag, mark = submsg_stack.pop()
+      piece = _encode_varint(real_tag) + _encode_varint(piece_bytes - mark)
+      pieces.append(piece)
+      piece_bytes += len(piece)
+    elif tag == _NODE_NOOP:
+      pass
+    else:
+      raise RiegeliFormatError(
+          f'transposed chunk: unknown special node tag {tag}'
+      )
+
+    if len(records) >= num_records:
+      break
+    nxt = nexts[node]
+    if nxt >= num_nodes:  # static jump
+      node = nxt - num_nodes
+    else:  # dynamic: consume a transition byte relative to base `nxt`
+      if pending:
+        pending -= 1
+        node = nxt
+      else:
+        if tpos >= len(transitions):
+          raise RiegeliFormatError('transposed chunk: transitions underrun')
+        byte = transitions[tpos]
+        tpos += 1
+        pending = byte & 3
+        node = nxt + (byte >> 2)
+      if node >= num_nodes:
+        raise RiegeliFormatError('transposed chunk: jump out of range')
+
+  records.reverse()
+  total = sum(len(r) for r in records)
+  if total != decoded_data_size:
+    raise RiegeliFormatError(
+        f'transposed chunk: decoded {total} bytes != header '
+        f'decoded_data_size {decoded_data_size}'
+    )
+  return records
+
+
 def read_riegeli_records(path: str, verify: bool = True) -> List[bytes]:
   """Reads every record from a riegeli/records file.
 
   Parses the chunk stream sequentially from offset 0. Signature,
-  file-metadata and padding chunks are skipped; simple chunks are
-  decoded; transposed chunks raise NotImplementedError (re-write with
-  RecordWriter transpose=false, or install the optional riegeli
-  package). With verify=True (default) every block-header, chunk-header
-  and chunk-data HighwayHash is checked and a mismatch raises
-  RiegeliFormatError.
+  file-metadata and padding chunks are skipped; simple AND transposed
+  chunks are decoded. With verify=True (default) every block-header,
+  chunk-header and chunk-data HighwayHash is checked and a mismatch
+  raises RiegeliFormatError.
   """
   with open(path, 'rb') as f:
     buf = f.read()
@@ -487,10 +781,8 @@ def read_riegeli_records(path: str, verify: bool = True) -> List[bytes]:
           _decode_simple_chunk(data, num_records, decoded_data_size)
       )
     elif chunk_type == CHUNK_TRANSPOSED:
-      raise NotImplementedError(
-          f'{path}: transposed riegeli chunk (RecordWriter '
-          'transpose=true) — not decodable natively; install the '
-          'optional riegeli package or re-write with transpose=false.'
+      records.extend(
+          _decode_transposed_chunk(data, num_records, decoded_data_size)
       )
     elif chunk_type in (
         CHUNK_SIGNATURE, CHUNK_FILE_METADATA, CHUNK_PADDING

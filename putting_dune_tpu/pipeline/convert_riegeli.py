@@ -1,13 +1,12 @@
 """LEGACY: converts riegeli record files to/from TFRecord.
 
-Both riegeli directions are now native — io/riegeli_native.py parses
-AND writes the chunk/block format directly (brotli/zstd/snappy via
-system libraries, real HighwayHash digests), so `read_records` /
-`write_records` on '.riegeli' paths work without this script or the
-riegeli package, in either direction. The one residual case that still
-needs the optional riegeli package is reading TRANSPOSED chunks
-(non-default RecordWriter transpose=true). This converter remains as a
-convenience CLI for bulk format conversion:
+Both riegeli directions are now fully native — io/riegeli_native.py
+parses AND writes the chunk/block format directly (brotli/zstd/snappy
+via system libraries, real HighwayHash digests, simple AND transposed
+chunk decoding), so `read_records` / `write_records` on '.riegeli'
+paths work without this script or the riegeli package, in either
+direction. This converter remains as a convenience CLI for bulk format
+conversion:
 
   python -m putting_dune_tpu.pipeline.convert_riegeli \
       --source_path=trajectories.riegeli --target_path=trajectories.tfrecords

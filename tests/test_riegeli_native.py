@@ -161,6 +161,130 @@ def test_stored_hashes_in_real_riegeli_files_verify():
   assert rn.read_riegeli_records(GOLDEN, verify=True)
 
 
+# --- transposed chunks -----------------------------------------------------------
+
+GOLDEN_TRANSPOSED = os.path.join(
+    os.path.dirname(__file__), 'data', 'golden_transposed.riegeli'
+)
+
+
+def _assert_contains_in_order(records, payloads):
+  """Every payload appears, in order (array_record adds its own header/
+  footer records to the chunk stream around user records)."""
+  it = iter(records)
+  for p in payloads:
+    assert any(r == p for r in it), f'missing payload {p!r}'
+
+
+@pytest.mark.parametrize(
+    'compression', ['uncompressed', 'brotli', 'zstd', 'snappy']
+)
+def test_reads_real_transposed_chunks(tmp_path, compression):
+  """Transposed chunks (RecordWriter transpose=true) written by the real
+  riegeli C++ writer decode natively — proto records are reassembled
+  from the column-wise state machine."""
+  _require_compressor(compression)
+  payloads = [
+      b'\x08\x05\x12\x02hi',           # varint + string field
+      b'\x08\xac\x02',                 # multi-byte varint
+      b'\x1a\x04\x08\x05\x10\x01',     # nested submessage
+      b'\x12\x03\xff\xff\xff',         # non-proto-parseable string field
+      b'not-a-proto-record-at-all',    # non-proto record
+      b'',                             # empty record
+      b'\x09\x01\x02\x03\x04\x05\x06\x07\x08',  # fixed64
+      b'\x0d\x01\x02\x03\x04',         # fixed32
+      b'\x08\x05\x08\x06\x08\x07',     # repeated field
+  ] * 3
+  path = str(tmp_path / f't_{compression}.riegeli')
+  writer = _writer(path, f'transpose,{compression}')
+  for r in payloads:
+    writer.write(r)
+  writer.close()
+  _assert_contains_in_order(rn.read_riegeli_records(path, verify=True),
+                            payloads)
+
+
+def test_transposed_fuzz_random_protos(tmp_path):
+  """Round-trip fuzz: random nested protos and raw byte records through
+  the real transposed writer, across group sizes."""
+  import random
+
+  rng = random.Random(7)
+
+  def rand_proto(depth=0):
+    out = bytearray()
+    for _ in range(rng.randint(0, 5)):
+      field = rng.randint(1, 300)
+      wt = rng.choice([0, 1, 2, 5])
+      out += rn._encode_varint((field << 3) | wt)
+      if wt == 0:
+        out += rn._encode_varint(rng.randint(0, 2**56))
+      elif wt == 1:
+        out += rng.randbytes(8)
+      elif wt == 5:
+        out += rng.randbytes(4)
+      elif depth < 3 and rng.random() < 0.5:
+        inner = rand_proto(depth + 1)
+        out += rn._encode_varint(len(inner)) + inner
+      else:
+        s = rng.randbytes(rng.randint(0, 40))
+        out += rn._encode_varint(len(s)) + s
+    return bytes(out)
+
+  for trial in range(8):
+    n = rng.randint(1, 80)
+    if trial % 3 == 2:
+      payloads = [rng.randbytes(rng.randint(0, 150)) for _ in range(n)]
+    else:
+      payloads = [rand_proto() for _ in range(n)]
+    path = str(tmp_path / f'fuzz{trial}.riegeli')
+    writer = _writer(
+        path,
+        f'transpose,uncompressed,group_size:{rng.choice([3, 50, 1000])}',
+    )
+    for p in payloads:
+      writer.write(p)
+    writer.close()
+    _assert_contains_in_order(rn.read_riegeli_records(path), payloads)
+
+
+def test_transposed_many_distinct_shapes(tmp_path):
+  """>64 distinct record shapes force large state-machine jump deltas."""
+  payloads = [
+      rn._encode_varint(((i + 1) << 3) | 0) + rn._encode_varint(i * 7 + 2)
+      for i in range(150)
+  ]
+  path = str(tmp_path / 'shapes.riegeli')
+  writer = _writer(path, 'transpose,uncompressed')
+  for p in payloads:
+    writer.write(p)
+  writer.close()
+  _assert_contains_in_order(rn.read_riegeli_records(path), payloads)
+
+
+def test_golden_transposed_trajectory_roundtrip():
+  """The checked-in transposed golden (real riegeli C++ writer, brotli,
+  transpose=true) decodes natively and its Trajectory protos parse."""
+  from putting_dune_tpu import microscope_data as md
+
+  records = rn.read_riegeli_records(GOLDEN_TRANSPOSED, verify=True)
+  trajectories = []
+  for payload in records:
+    try:
+      t = md.Trajectory.from_proto_bytes(payload)
+    except Exception:  # array_record header/footer records
+      continue
+    # array_record's own meta records can parse as degenerate
+    # single-observation trajectories; the goldens have exactly 2.
+    if len(t.observations) == 2:
+      trajectories.append(t)
+  assert len(trajectories) == 2
+  assert trajectories[0].observations[0].grid.num_atoms == 3
+  assert trajectories[1].observations[0].grid.num_atoms == 2
+  c = trajectories[0].observations[0].controls[0]
+  assert c.dwell_time.total_seconds() == 1.5
+
+
 # --- native writer ---------------------------------------------------------------
 
 
