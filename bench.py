@@ -272,6 +272,12 @@ def main():
     env4096_sps = bench_env_steps(batch=4096)
   except Exception:
     env4096_sps = 0.0
+  try:
+    # Beyond the named range: 8192 envs (measured 6.49M steps/s; 16384
+    # reaches 7.11M but its remote compile is too slow for this bench).
+    env8192_sps = bench_env_steps(batch=8192)
+  except Exception:
+    env8192_sps = 0.0
   result = {
       'metric': 'env_steps_per_sec_1024envs',
       'value': round(env_sps, 1),
@@ -288,6 +294,7 @@ def main():
           stress_sps, 1
       ),
       'env_steps_per_sec_4096envs': round(env4096_sps, 1),
+      'env_steps_per_sec_8192envs': round(env8192_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
       'device': str(jax.devices()[0]),
   }
