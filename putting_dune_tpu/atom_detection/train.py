@@ -174,9 +174,21 @@ def train(config: Config, *, mesh=None, progress=None,
     train_iter = data_lib.records_dataset_iterator(
         records_dir, config.seed, batch_size=local_batch, split='train'
     )
-    eval_iter = data_lib.records_dataset_iterator(
-        records_dir, config.seed + 1, batch_size=local_batch, split='test'
-    )
+    # "Eval uses the dataset's test/ split when present" (Config): a
+    # dataset written without one (write_dataset test_examples=0) falls
+    # back to the synthetic eval stream instead of failing at startup.
+    try:
+      eval_iter = data_lib.records_dataset_iterator(
+          records_dir, config.seed + 1, batch_size=local_batch, split='test'
+      )
+    except FileNotFoundError:
+      eval_iter = data_lib.dataset_iterator(
+          mesh_lib.process_data_seed(config.seed + 1),
+          batch_size=local_batch,
+          image_size=config.image_size,
+          grid_columns=config.grid_columns,
+          noisy=config.noisy_images,
+      )
   else:
     train_iter = data_lib.dataset_iterator(
         mesh_lib.process_data_seed(config.seed),
@@ -208,14 +220,20 @@ def train(config: Config, *, mesh=None, progress=None,
     for _ in range(config.eval_steps):
       batch = mesh_lib.global_batch(next(eval_iter), mesh)
       eval_accs.append(eval_step(state, batch))
+    train_accuracy = float(
+        np.mean([jax.device_get(m['accuracy']) for m in metrics_acc])
+    )
     summary = {
         'loss': float(
             np.mean([jax.device_get(m['loss']) for m in metrics_acc])
         ),
-        'train_accuracy': float(
-            np.mean([jax.device_get(m['accuracy']) for m in metrics_acc])
+        'train_accuracy': train_accuracy,
+        # With eval_steps=0 the best-checkpoint metric falls back to train
+        # accuracy rather than feeding NaN into orbax best_fn.
+        'accuracy': (
+            float(np.mean(jax.device_get(eval_accs)))
+            if eval_accs else train_accuracy
         ),
-        'accuracy': float(np.mean(jax.device_get(eval_accs))),
     }
     manager.save(
         epoch, args=ocp.args.StandardSave(state), metrics=summary

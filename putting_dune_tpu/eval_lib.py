@@ -233,7 +233,6 @@ def evaluate_batched(
   seeds_arr = jnp.asarray(np.asarray(seeds, np.uint32))
   stateful = isinstance(policy, StatefulPolicy)
 
-  @jax.jit
   def init_carry(seeds_arr):
     # The batched env consumes one key per step for the whole batch, and
     # splits per-env randomness internally; episode diversity comes from
@@ -337,14 +336,29 @@ def evaluate_batched(
 
     return jax.lax.while_loop(cond, body, carry)
 
-  carry = init_carry(seeds_arr)
-  if mesh is not None:
+  if mesh is None:
+    carry = jax.jit(init_carry)(seeds_arr)
+  else:
     # Batch-shard every (B, ...) leaf over the 'data' axis (scalars and
-    # non-divisible leaves replicate); run_chunk then executes SPMD with
-    # GSPMD-inserted reductions for the all-done condition.
+    # non-divisible leaves replicate, the shard_batch rule) — declared as
+    # OUT shardings on the jitted reset, so the full-suite env.reset
+    # itself executes SPMD across the mesh instead of allocating the
+    # whole batch on device 0 and redistributing; run_chunk then runs
+    # SPMD with GSPMD-inserted reductions for the all-done condition.
     from putting_dune_tpu.parallel import mesh as mesh_lib
 
-    carry = mesh_lib.shard_batch(carry, mesh)
+    batch_s = mesh_lib.batch_sharding(mesh)
+    replicated_s = mesh_lib.replicated_sharding(mesh)
+    axis_size = mesh.shape['data']
+    out_shardings = jax.tree_util.tree_map(
+        lambda s: (
+            batch_s
+            if len(s.shape) >= 1 and s.shape[0] % axis_size == 0
+            else replicated_s
+        ),
+        jax.eval_shape(init_carry, seeds_arr),
+    )
+    carry = jax.jit(init_carry, out_shardings=out_shardings)(seeds_arr)
   # Compile BEFORE starting the wall clock: the budget covers agent
   # compute + simulated time (reference eval_lib.py:128-144), never XLA
   # compilation — a cold compile cache must not truncate episodes.

@@ -201,14 +201,33 @@ def train(config: Config, *, mesh=None, progress=None,
   local_batch = mesh_lib.process_local_batch_size(config.batch_size)
   from putting_dune_tpu.io import datasets as datasets_lib
 
+  def synthetic_eval_iter():
+    return data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed + 1),
+        batch_size=local_batch,
+        image_size=config.image_size,
+        num_frames=config.num_frames,
+        grid_columns=config.grid_columns,
+        noisy=config.noisy_images,
+        registration_noise=config.registration_noise,
+        inference_preprocessing=config.inference_preprocessing,
+        seed_fraction=config.seed_fraction,
+    )
+
   records_dir = datasets_lib.parse_data_source(config.data_source)
   if records_dir is not None:
     train_iter = data_lib.records_dataset_iterator(
         records_dir, config.seed, batch_size=local_batch, split='train'
     )
-    eval_iter = data_lib.records_dataset_iterator(
-        records_dir, config.seed + 1, batch_size=local_batch, split='test'
-    )
+    # Eval uses the dataset's test/ split when present; a dataset written
+    # without one (write_dataset test_examples=0) falls back to the
+    # synthetic eval stream instead of failing at startup.
+    try:
+      eval_iter = data_lib.records_dataset_iterator(
+          records_dir, config.seed + 1, batch_size=local_batch, split='test'
+      )
+    except FileNotFoundError:
+      eval_iter = synthetic_eval_iter()
   else:
     train_iter = data_lib.dataset_iterator(
         mesh_lib.process_data_seed(config.seed),
@@ -222,17 +241,7 @@ def train(config: Config, *, mesh=None, progress=None,
         inference_preprocessing=config.inference_preprocessing,
         seed_fraction=config.seed_fraction,
     )
-    eval_iter = data_lib.dataset_iterator(
-        mesh_lib.process_data_seed(config.seed + 1),
-        batch_size=local_batch,
-        image_size=config.image_size,
-        num_frames=config.num_frames,
-        grid_columns=config.grid_columns,
-        noisy=config.noisy_images,
-        registration_noise=config.registration_noise,
-        inference_preprocessing=config.inference_preprocessing,
-        seed_fraction=config.seed_fraction,
-    )
+    eval_iter = synthetic_eval_iter()
 
   for epoch in range(start_epoch, config.epochs):
     if stop_fn is not None and stop_fn():
@@ -253,10 +262,17 @@ def train(config: Config, *, mesh=None, progress=None,
       evals.append(
           eval_step(state, batch, config.num_frames, config.final_step_only)
       )
-    summary = {
-        k: float(np.mean([jax.device_get(e[k]) for e in evals]))
-        for k in evals[0]
-    }
+    if evals:
+      summary = {
+          k: float(np.mean([jax.device_get(e[k]) for e in evals]))
+          for k in evals[0]
+      }
+    else:
+      # eval_steps=0: the best-checkpoint metric falls back to the last
+      # train-step metrics rather than indexing an empty eval list.
+      summary = {
+          k: float(jax.device_get(v)) for k, v in metrics.items()
+      }
     manager.save(epoch, args=ocp.args.StandardSave(state), metrics=summary)
     if progress is not None:
       progress(epoch, summary)

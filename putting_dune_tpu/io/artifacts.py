@@ -23,6 +23,8 @@ import argparse
 import hashlib
 import json
 import os
+import shutil
+import uuid
 import zipfile
 from typing import Dict
 
@@ -170,16 +172,22 @@ def resolve_artifact(
     if refresh and os.path.exists(archive):
       os.remove(archive)
     if not os.path.exists(archive):
+      # Download to a per-process temp name so concurrent resolvers of the
+      # same URI cannot interleave writes; os.replace publishes atomically
+      # (last writer wins with a complete file either way).
+      tmp = f'{archive}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}'
       try:
-        urllib.request.urlretrieve(url, archive + '.tmp')
+        urllib.request.urlretrieve(url, tmp)
       except Exception as e:
+        if os.path.exists(tmp):
+          os.remove(tmp)
         raise RuntimeError(
             f'Could not download {uri!r} ({e}). In a zero-egress '
             'environment, transfer the bundle by hand and pass its local '
             'path (integrity is checked by the embedded sha256 manifest, '
             'not the channel).'
         ) from e
-      os.replace(archive + '.tmp', archive)
+      os.replace(tmp, archive)
   else:
     raise ValueError(
         f'Unsupported artifact URI scheme {scheme!r} in {uri!r}; expected '
@@ -199,9 +207,29 @@ def resolve_artifact(
   with zipfile.ZipFile(archive) as zf:
     name = json.loads(zf.read(MANIFEST_NAME))['name']
   model_dir = os.path.join(extract_root, name)
-  if os.path.isdir(model_dir) and os.listdir(model_dir):
+  # A cached extraction counts only if the completion marker exists: a
+  # crashed or hash-rejected unpack leaves files but no marker, so it is
+  # re-extracted instead of served as a (partial) model forever.
+  done_marker = os.path.join(extract_root, '.complete')
+  if os.path.isdir(model_dir) and os.path.exists(done_marker):
     return model_dir
-  return unpack(archive, extract_root)
+  # Unpack into a per-process staging dir, mark it complete, then publish
+  # atomically; a concurrent winner is served instead of clobbered.
+  tmp_root = f'{extract_root}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}'
+  try:
+    unpack(archive, tmp_root)
+    with open(os.path.join(tmp_root, '.complete'), 'w') as f:
+      f.write(extract_key)
+    shutil.rmtree(extract_root, ignore_errors=True)
+    try:
+      os.rename(tmp_root, extract_root)
+    except OSError:
+      if os.path.isdir(model_dir) and os.path.exists(done_marker):
+        return model_dir  # lost the publish race to a complete extraction
+      raise
+  finally:
+    shutil.rmtree(tmp_root, ignore_errors=True)
+  return model_dir
 
 
 def main() -> None:

@@ -258,8 +258,10 @@ def _read_riegeli(path: str) -> List[bytes]:
   try:
     return riegeli_native.read_riegeli_records(path)
   except NotImplementedError:
-    # Constructs the native decoder deliberately rejects (deprecated
-    # proto group wiretypes in transposed chunks): try the real package.
+    # RiegeliUnsupportedError: the file is valid but THIS environment
+    # cannot decode it natively (missing system decompression library,
+    # or deprecated proto group wiretypes in transposed chunks) — try
+    # the real package, which bundles its own codecs.
     riegeli = _riegeli_module()
     if riegeli is None:
       raise

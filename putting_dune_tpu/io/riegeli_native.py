@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import ctypes
 import ctypes.util
+import functools
 import struct
 from typing import List, Optional, Sequence, Tuple
 
@@ -67,6 +68,16 @@ COMPRESSION_SNAPPY = 0x73  # 's'
 
 class RiegeliFormatError(ValueError):
   """The bytes do not parse as a riegeli/records file."""
+
+
+class RiegeliUnsupportedError(NotImplementedError):
+  """The file is (likely) valid but THIS environment cannot decode it.
+
+  Raised when a required system decompression library is missing or a
+  construct the native decoder deliberately rejects is encountered;
+  callers (io/records._read_riegeli) fall back to the optional riegeli
+  package on this, distinct from RiegeliFormatError (corrupt bytes).
+  """
 
 
 # --- HighwayHash-64 -------------------------------------------------------------
@@ -201,7 +212,9 @@ def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
 # --- system decompressors via ctypes ------------------------------------------
 
 
-def _load(names):
+@functools.lru_cache(maxsize=None)
+def _load(names: tuple):
+  """dlopens (once per process) the first loadable of `names`."""
   for name in names:
     try:
       return ctypes.CDLL(name)
@@ -211,9 +224,9 @@ def _load(names):
 
 
 def _brotli_decompress(data: bytes, decoded_size: int) -> bytes:
-  lib = _load(['libbrotlidec.so.1', 'libbrotlidec.so'])
+  lib = _load(('libbrotlidec.so.1', 'libbrotlidec.so'))
   if lib is None:
-    raise RiegeliFormatError(
+    raise RiegeliUnsupportedError(
         'brotli-compressed riegeli chunk but libbrotlidec is unavailable'
     )
   lib.BrotliDecoderDecompress.argtypes = [
@@ -238,9 +251,9 @@ def _brotli_decompress(data: bytes, decoded_size: int) -> bytes:
 
 
 def _zstd_decompress(data: bytes, decoded_size: int) -> bytes:
-  lib = _load(['libzstd.so.1', 'libzstd.so'])
+  lib = _load(('libzstd.so.1', 'libzstd.so'))
   if lib is None:
-    raise RiegeliFormatError(
+    raise RiegeliUnsupportedError(
         'zstd-compressed riegeli chunk but libzstd is unavailable'
     )
   lib.ZSTD_decompress.argtypes = [
@@ -259,9 +272,9 @@ def _zstd_decompress(data: bytes, decoded_size: int) -> bytes:
 
 
 def _snappy_decompress(data: bytes, decoded_size: int) -> bytes:
-  lib = _load(['libsnappy.so.1', 'libsnappy.so'])
+  lib = _load(('libsnappy.so.1', 'libsnappy.so'))
   if lib is None:
-    raise RiegeliFormatError(
+    raise RiegeliUnsupportedError(
         'snappy-compressed riegeli chunk but libsnappy is unavailable'
     )
   lib.snappy_uncompress.argtypes = [
@@ -283,7 +296,7 @@ def _snappy_decompress(data: bytes, decoded_size: int) -> bytes:
 
 
 def _brotli_compress(data: bytes, quality: int = 6) -> Optional[bytes]:
-  lib = _load(['libbrotlienc.so.1', 'libbrotlienc.so'])
+  lib = _load(('libbrotlienc.so.1', 'libbrotlienc.so'))
   if lib is None:
     return None
   lib.BrotliEncoderCompress.argtypes = [
@@ -309,7 +322,7 @@ def _brotli_compress(data: bytes, quality: int = 6) -> Optional[bytes]:
 
 
 def _zstd_compress(data: bytes, level: int = 3) -> Optional[bytes]:
-  lib = _load(['libzstd.so.1', 'libzstd.so'])
+  lib = _load(('libzstd.so.1', 'libzstd.so'))
   if lib is None:
     return None
   lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
@@ -330,7 +343,7 @@ def _zstd_compress(data: bytes, level: int = 3) -> Optional[bytes]:
 
 
 def _snappy_compress(data: bytes) -> Optional[bytes]:
-  lib = _load(['libsnappy.so.1', 'libsnappy.so'])
+  lib = _load(('libsnappy.so.1', 'libsnappy.so'))
   if lib is None:
     return None
   lib.snappy_max_compressed_length.argtypes = [ctypes.c_size_t]
@@ -665,7 +678,7 @@ def _decode_transposed_chunk(
         # Proto group wiretypes (3/4, deprecated since proto2) were never
         # observed from the real writer; fail as unsupported (callers may
         # fall back to the optional riegeli package) rather than corrupt.
-        raise NotImplementedError(
+        raise RiegeliUnsupportedError(
             f'transposed chunk: unsupported wiretype {wiretype} '
             f'(tag {tag})'
         )
@@ -737,6 +750,10 @@ def read_riegeli_records(path: str, verify: bool = True) -> List[bytes]:
 
   if verify:
     for block in range(0, len(buf), BLOCK_SIZE):
+      if block + BLOCK_HEADER_SIZE > len(buf):
+        raise RiegeliFormatError(
+            f'{path}: truncated block header at offset {block}'
+        )
       stored = struct.unpack('<Q', buf[block:block + 8])[0]
       got = highwayhash64(buf[block + 8:block + BLOCK_HEADER_SIZE])
       if got != stored:
@@ -798,16 +815,7 @@ def read_riegeli_records(path: str, verify: bool = True) -> List[bytes]:
 # --- native writer ---------------------------------------------------------------
 
 
-def _varint(n: int) -> bytes:
-  out = bytearray()
-  while True:
-    byte = n & 0x7F
-    n >>= 7
-    if n:
-      out.append(byte | 0x80)
-    else:
-      out.append(byte)
-      return bytes(out)
+_varint = _encode_varint  # writer-side alias; one varint encoder only
 
 
 _COMPRESSION_BY_NAME = {

@@ -286,3 +286,43 @@ def test_resolve_artifact_repack_invalidates_cache(tmp_path):
   assert open(os.path.join(out2, 'params.msgpack'), 'rb').read() == (
       b'v2-weights-longer'
   )
+
+
+def test_resolve_artifact_reextracts_partial_extraction(tmp_path):
+  """An interrupted unpack (files present, no completion marker) must be
+  re-extracted on the next resolution, never served as the model."""
+  import os
+  import shutil
+
+  from putting_dune_tpu.io import artifacts
+
+  src = tmp_path / 'model'
+  src.mkdir()
+  (src / 'params.msgpack').write_bytes(b'weights')
+  archive = str(tmp_path / 'model.zip')
+  artifacts.pack(str(src), archive)
+  cache = str(tmp_path / 'cache')
+
+  out = artifacts.resolve_artifact(archive, cache_dir=cache)
+  extract_root = os.path.dirname(out)
+  marker = os.path.join(extract_root, '.complete')
+  assert os.path.exists(marker)
+
+  # Simulate a crash mid-unpack: model dir exists (even non-empty, with
+  # a corrupt partial file) but the completion marker does not.
+  os.remove(marker)
+  with open(os.path.join(out, 'params.msgpack'), 'wb') as f:
+    f.write(b'par')  # truncated write
+  out2 = artifacts.resolve_artifact(archive, cache_dir=cache)
+  assert out2 == out
+  assert open(os.path.join(out2, 'params.msgpack'), 'rb').read() == (
+      b'weights'
+  )
+  assert os.path.exists(marker)
+
+  # A wiped cache dir re-extracts too.
+  shutil.rmtree(extract_root)
+  out3 = artifacts.resolve_artifact(archive, cache_dir=cache)
+  assert open(os.path.join(out3, 'params.msgpack'), 'rb').read() == (
+      b'weights'
+  )

@@ -186,6 +186,28 @@ def test_detection_records_match_in_memory_and_train(tmp_path):
   assert os.path.isdir(os.path.join(config.workdir, 'checkpoints'))
 
 
+def test_detection_records_train_without_test_split(tmp_path):
+  """A dataset written without a test/ split (write_dataset default
+  test_examples=0) still trains: eval falls back to the synthetic stream
+  instead of failing at iterator construction."""
+  from putting_dune_tpu.atom_detection import data as det_data
+  from putting_dune_tpu.atom_detection import train as det_train
+
+  d = str(tmp_path / 'det_notest')
+  det_data.write_dataset(
+      d, num_examples=8, seed=3, gen_batch_size=8, image_size=32,
+      grid_columns=20, examples_per_shard=8,
+  )
+  assert not os.path.isdir(os.path.join(d, 'test'))
+  config = det_train.Config(
+      workdir=str(tmp_path / 'w_notest'), image_size=32, batch_size=8,
+      features=(4, 8), grid_columns=20, data_source=f'records:{d}',
+      epochs=1, steps_per_epoch=1, eval_steps=1,
+  )
+  det_train.train(config)
+  assert os.path.isdir(os.path.join(config.workdir, 'checkpoints'))
+
+
 def test_alignment_records_train_loop(tmp_path):
   from putting_dune_tpu.image_alignment import data as align_data
   from putting_dune_tpu.image_alignment import train as align_train
