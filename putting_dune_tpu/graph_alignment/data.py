@@ -126,3 +126,87 @@ def dataset_iterator(
         batch_size=batch_size, num_frames=num_frames, capacity=capacity,
         max_drift_per_step=max_drift_per_step, jitter_scale=jitter_scale,
     )
+
+
+# --- record-backed dataset source ---------------------------------------------
+# Parity: the reference trains on a materialized TFDS `graph_alignment`
+# dataset (reference graph_alignment/dataset.py:30-65); schema here:
+# {'positions': (T*K, 2) f32, 'atomic_numbers': (T*K,) i32,
+#  'mask': (T*K,) bool, 'frame_ids': (T*K,) i32, 'drift': (T, 2) f32}.
+
+
+def write_dataset(
+    records_dir: str,
+    *,
+    num_examples: int,
+    seed: int = 0,
+    gen_batch_size: int = 64,
+    num_frames: int = 2,
+    capacity: int = 256,
+    grid_columns: int = 50,
+    max_drift_per_step: float = 1.0,
+    jitter_scale: float = 0.05,
+    test_examples: int = 0,
+    examples_per_shard: int = 256,
+) -> int:
+  """Materializes drifted point-cloud stacks as TFRecord shards.
+
+  Returns the number of train examples written. When test_examples > 0 a
+  held-out `test/` split is written from a disjoint RNG stream.
+  """
+  import itertools
+  import os
+
+  from putting_dune_tpu.io import datasets
+
+  def examples(split_seed: int):
+    batches = dataset_iterator(
+        split_seed,
+        batch_size=gen_batch_size,
+        num_frames=num_frames,
+        capacity=capacity,
+        grid_columns=grid_columns,
+        max_drift_per_step=max_drift_per_step,
+        jitter_scale=jitter_scale,
+    )
+    return itertools.chain.from_iterable(
+        datasets.unbatch(jax.device_get(b)) for b in batches
+    )
+
+  datasets.write_examples(
+      records_dir,
+      itertools.islice(examples(seed), num_examples),
+      examples_per_shard=examples_per_shard,
+  )
+  if test_examples > 0:
+    datasets.write_examples(
+        os.path.join(records_dir, 'test'),
+        itertools.islice(examples(seed + 1), test_examples),
+        examples_per_shard=examples_per_shard,
+    )
+  return num_examples
+
+
+def records_dataset_iterator(
+    records_dir: str,
+    seed: int,
+    *,
+    batch_size: int,
+    split: str = 'train',
+    shuffle: bool = True,
+):
+  """Endless per-process-sharded batches from a materialized dataset.
+
+  Drop-in replacement for dataset_iterator: same batch dict, consumed
+  through parallel.mesh.global_batch. batch_size is the PROCESS-LOCAL
+  size; examples shard across processes by global index.
+  """
+  from putting_dune_tpu.io import datasets
+
+  return datasets.records_iterator(
+      datasets.split_dir(records_dir, split),
+      batch_size=batch_size,
+      seed=seed,
+      shuffle=shuffle,
+      repeat=True,
+  )

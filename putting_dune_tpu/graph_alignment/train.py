@@ -39,6 +39,12 @@ class Config:
   k: int = 8
   local_loss_weight: float = 0.0
   grid_columns: int = 50
+  # 'synthetic' (default): on-device generated batches. 'records:<dir>':
+  # a materialized TFRecord dataset (data.write_dataset), per-process
+  # example sharding — the reference's TFDS `graph_alignment` loader
+  # path (graph_alignment/dataset.py:30-65). Eval uses the dataset's
+  # test/ split when present.
+  data_source: str = 'synthetic'
 
 
 class TrainState(train_state.TrainState):
@@ -131,20 +137,40 @@ def train(config: Config, *, mesh=None, progress=None,
   # Per-process generated-data shards + global batch assembly; see
   # parallel/mesh.py (multi-process support).
   local_batch = mesh_lib.process_local_batch_size(config.batch_size)
-  train_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed),
-      batch_size=local_batch,
-      num_frames=config.num_frames,
-      capacity=config.capacity,
-      grid_columns=config.grid_columns,
-  )
-  eval_iter = data_lib.dataset_iterator(
-      mesh_lib.process_data_seed(config.seed + 1),
-      batch_size=local_batch,
-      num_frames=config.num_frames,
-      capacity=config.capacity,
-      grid_columns=config.grid_columns,
-  )
+  from putting_dune_tpu.io import datasets as datasets_lib
+
+  def synthetic_eval_iter():
+    return data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed + 1),
+        batch_size=local_batch,
+        num_frames=config.num_frames,
+        capacity=config.capacity,
+        grid_columns=config.grid_columns,
+    )
+
+  records_dir = datasets_lib.parse_data_source(config.data_source)
+  if records_dir is not None:
+    train_iter = data_lib.records_dataset_iterator(
+        records_dir, config.seed, batch_size=local_batch, split='train'
+    )
+    # Eval uses the dataset's test/ split when present; a dataset written
+    # without one falls back to the synthetic eval stream instead of
+    # failing at startup.
+    try:
+      eval_iter = data_lib.records_dataset_iterator(
+          records_dir, config.seed + 1, batch_size=local_batch, split='test'
+      )
+    except FileNotFoundError:
+      eval_iter = synthetic_eval_iter()
+  else:
+    train_iter = data_lib.dataset_iterator(
+        mesh_lib.process_data_seed(config.seed),
+        batch_size=local_batch,
+        num_frames=config.num_frames,
+        capacity=config.capacity,
+        grid_columns=config.grid_columns,
+    )
+    eval_iter = synthetic_eval_iter()
   for epoch in range(start_epoch, config.epochs):
     if stop_fn is not None and stop_fn():
       break  # budget/stop hook; orbax still flushes below.
@@ -155,10 +181,17 @@ def train(config: Config, *, mesh=None, progress=None,
     for _ in range(config.eval_steps):
       batch = mesh_lib.global_batch(next(eval_iter), mesh)
       evals.append(eval_step(state, batch))
-    summary = {
-        k: float(np.mean([jax.device_get(e[k]) for e in evals]))
-        for k in evals[0]
-    }
+    if evals:
+      summary = {
+          k: float(np.mean([jax.device_get(e[k]) for e in evals]))
+          for k in evals[0]
+      }
+    else:
+      # eval_steps=0: the best-checkpoint metric falls back to the last
+      # train-step metrics rather than indexing an empty eval list.
+      summary = {
+          k: float(jax.device_get(v)) for k, v in metrics.items()
+      }
     manager.save(epoch, args=ocp.args.StandardSave(state), metrics=summary)
     if progress is not None:
       progress(epoch, summary)

@@ -235,6 +235,53 @@ def test_alignment_records_train_loop(tmp_path):
   assert os.path.isdir(os.path.join(config.workdir, 'checkpoints'))
 
 
+def test_graph_alignment_records_train_loop(tmp_path):
+  """The GNN aligner's train loop also consumes materialized datasets
+  (reference graph_alignment/dataset.py:30-65 trains from a TFDS dataset):
+  write -> read round-trips the point-cloud schema bitwise and the loop
+  trains through data_source='records:...'."""
+  from putting_dune_tpu.graph_alignment import data as graph_data
+  from putting_dune_tpu.graph_alignment import train as graph_train
+  from putting_dune_tpu.io import datasets
+
+  d = str(tmp_path / 'graph')
+  graph_data.write_dataset(
+      d, num_examples=8, seed=7, gen_batch_size=8, num_frames=2,
+      capacity=64, grid_columns=20, test_examples=8, examples_per_shard=8,
+  )
+  assert datasets.count_examples(d) == 8
+
+  # Bitwise round-trip vs the generator stream that produced the shards.
+  gen = graph_data.dataset_iterator(
+      7, batch_size=8, num_frames=2, capacity=64, grid_columns=20
+  )
+  in_memory = list(datasets.unbatch(jax.device_get(next(gen))))
+  from_records = list(datasets.iterate_examples(d))
+  assert len(from_records) == len(in_memory)
+  for mem, rec in zip(in_memory, from_records):
+    assert set(rec) == {
+        'positions', 'atomic_numbers', 'mask', 'frame_ids', 'drift'
+    }
+    for k in rec:
+      np.testing.assert_array_equal(mem[k], rec[k])
+      assert rec[k].dtype == np.asarray(mem[k]).dtype
+
+  batch = next(
+      graph_data.records_dataset_iterator(d, 0, batch_size=8, shuffle=False)
+  )
+  assert batch['positions'].shape == (8, 128, 2)
+  assert batch['drift'].shape == (8, 2, 2)
+
+  config = graph_train.Config(
+      workdir=str(tmp_path / 'w'), num_frames=2, capacity=64,
+      batch_size=8, width=8, num_layers=1, k=4, grid_columns=20,
+      data_source=f'records:{d}', epochs=1, steps_per_epoch=2,
+      eval_steps=1,
+  )
+  graph_train.train(config)
+  assert os.path.isdir(os.path.join(config.workdir, 'checkpoints'))
+
+
 def test_examples_from_labeled_trajectory(tmp_path):
   """REAL labeled microscope data (LabeledAlignmentTrajectory records)
   converts into drift-stack training examples with window-relative labels,
