@@ -373,6 +373,71 @@ def test_explicit_compression_missing_lib_errors(tmp_path, monkeypatch):
     )
 
 
+def test_truncated_inside_block_header(tmp_path):
+  """A file cut mid block-header raises RiegeliFormatError (the module's
+  documented error type), not a bare struct.error."""
+  rng = np.random.default_rng(11)
+  payloads = [rng.bytes(3000) for _ in range(100)]
+  path = str(tmp_path / 'big.riegeli')
+  rn.write_riegeli_records(
+      path, payloads, compression='uncompressed', chunk_target_bytes=10**9
+  )
+  buf = open(path, 'rb').read()
+  assert len(buf) > rn.BLOCK_SIZE
+  cut = str(tmp_path / 'cut.riegeli')
+  with open(cut, 'wb') as f:
+    f.write(buf[:rn.BLOCK_SIZE + 4])  # 4 bytes into the 2nd block header
+  with pytest.raises(rn.RiegeliFormatError, match='truncated block header'):
+    rn.read_riegeli_records(cut)
+
+
+def test_missing_decompression_lib_falls_back_to_package(
+    tmp_path, monkeypatch
+):
+  """A compressed file in an environment without the system codec raises
+  RiegeliUnsupportedError natively, and records.read_records routes that
+  to the optional riegeli package (which bundles its own codecs)."""
+  _require_compressor('zstd')
+  from putting_dune_tpu.io import records as records_lib
+
+  rng = np.random.default_rng(12)
+  payloads = [rng.bytes(200) for _ in range(5)]
+  path = str(tmp_path / 'z.riegeli')
+  rn.write_riegeli_records(path, payloads, compression='zstd')
+
+  # Simulate the codec-less environment: every dlopen fails.
+  monkeypatch.setattr(rn, '_load', lambda names: None)
+  with pytest.raises(rn.RiegeliUnsupportedError, match='libzstd'):
+    rn.read_riegeli_records(path)
+
+  # No riegeli package either: the unsupported error propagates.
+  monkeypatch.setattr(records_lib, '_riegeli_module', lambda: None)
+  with pytest.raises(NotImplementedError, match='libzstd'):
+    records_lib._read_riegeli(path)
+
+  # With the package present, its RecordReader serves the payloads.
+  class _FakeReader:
+    def __init__(self, f):
+      del f
+
+    def __enter__(self):
+      return self
+
+    def __exit__(self, *exc):
+      return False
+
+    def read_records(self):
+      return iter(payloads)
+
+  class _FakeRiegeli:
+    RecordReader = _FakeReader
+
+  monkeypatch.setattr(
+      records_lib, '_riegeli_module', lambda: _FakeRiegeli
+  )
+  assert records_lib._read_riegeli(path) == payloads
+
+
 def test_corruption_detected(tmp_path):
   _require_compressor('zstd')
   rng = np.random.default_rng(6)
