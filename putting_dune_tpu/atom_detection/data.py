@@ -130,15 +130,16 @@ def write_dataset(
 
   Returns the number of train examples written. When test_examples > 0 a
   held-out `test/` split is written from a disjoint RNG stream (reference
-  train/test TFDS splits, dataset.py:95-113).
+  train/test TFDS splits, dataset.py:95-113). Generation stages into a
+  sibling directory and publishes atomically (io.datasets.write_split_dataset).
   """
   import itertools
 
   from putting_dune_tpu.io import datasets
 
-  def examples(split_seed: int):
+  def examples(stream: int):
     batches = dataset_iterator(
-        split_seed,
+        seed + stream,
         batch_size=gen_batch_size,
         image_size=image_size,
         grid_columns=grid_columns,
@@ -149,18 +150,13 @@ def write_dataset(
         datasets.unbatch(jax.device_get(b)) for b in batches
     )
 
-  datasets.write_examples(
+  return datasets.write_split_dataset(
       records_dir,
-      itertools.islice(examples(seed), num_examples),
+      examples,
+      num_examples=num_examples,
+      test_examples=test_examples,
       examples_per_shard=examples_per_shard,
   )
-  if test_examples > 0:
-    datasets.write_examples(
-        os.path.join(records_dir, 'test'),
-        itertools.islice(examples(seed + 1), test_examples),
-        examples_per_shard=examples_per_shard,
-    )
-  return num_examples
 
 
 def records_dataset_iterator(

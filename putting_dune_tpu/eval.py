@@ -45,6 +45,11 @@ def main(args: Args) -> 'object':
 
   seeds = eval_lib.EVAL_SUITES[args.eval_suite]
 
+  if args.mesh and not args.batched:
+    # The per-seed host loop is inherently single-device; silently
+    # dropping --mesh would let the user believe the suite was sharded.
+    raise ValueError('--mesh requires batched evaluation (drop --nobatched).')
+
   if args.experiment_name in registry.multi_dopant_experiment_names():
     return _eval_multi_dopant(args, seeds)
 

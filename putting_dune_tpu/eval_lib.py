@@ -350,10 +350,17 @@ def evaluate_batched(
     batch_s = mesh_lib.batch_sharding(mesh)
     replicated_s = mesh_lib.replicated_sharding(mesh)
     axis_size = mesh.shape['data']
+    batch = int(seeds_arr.shape[0])
+    # Only leaves whose leading dim IS the env batch are sharded; a
+    # divisibility-only rule would also catch shape coincidences like
+    # the (2,) loop PRNG key on a 2-device mesh, adding pointless
+    # per-step cross-chip key gathers to a communication-free rollout.
     out_shardings = jax.tree_util.tree_map(
         lambda s: (
             batch_s
-            if len(s.shape) >= 1 and s.shape[0] % axis_size == 0
+            if len(s.shape) >= 1
+            and s.shape[0] == batch
+            and batch % axis_size == 0
             else replicated_s
         ),
         jax.eval_shape(init_carry, seeds_arr),

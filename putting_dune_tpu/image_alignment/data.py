@@ -276,14 +276,18 @@ def write_dataset(
     test_examples: int = 0,
     examples_per_shard: int = 128,
 ) -> int:
-  """Materializes a drift-stack dataset as TFRecord shards."""
+  """Materializes a drift-stack dataset as TFRecord shards.
+
+  Generation stages into a sibling directory and publishes atomically
+  (io.datasets.write_split_dataset).
+  """
   import itertools
 
   from putting_dune_tpu.io import datasets
 
-  def examples(split_seed: int):
+  def examples(stream: int):
     batches = dataset_iterator(
-        split_seed,
+        seed + stream,
         batch_size=gen_batch_size,
         image_size=image_size,
         num_frames=num_frames,
@@ -299,18 +303,13 @@ def write_dataset(
         datasets.unbatch(jax.device_get(b)) for b in batches
     )
 
-  datasets.write_examples(
+  return datasets.write_split_dataset(
       records_dir,
-      itertools.islice(examples(seed), num_examples),
+      examples,
+      num_examples=num_examples,
+      test_examples=test_examples,
       examples_per_shard=examples_per_shard,
   )
-  if test_examples > 0:
-    datasets.write_examples(
-        os.path.join(records_dir, 'test'),
-        itertools.islice(examples(seed + 1), test_examples),
-        examples_per_shard=examples_per_shard,
-    )
-  return num_examples
 
 
 def records_dataset_iterator(
@@ -343,6 +342,7 @@ def examples_from_labeled_trajectory(
     num_frames: int = 5,
     image_size: int = 128,
     stride: int = 1,
+    inference_preprocessing: bool = False,
 ):
   """Converts a REAL labeled trajectory into drift-stack train examples.
 
@@ -362,6 +362,13 @@ def examples_from_labeled_trajectory(
     num_frames: window length T (must match the model's num_frames).
     image_size: output resolution (frames are resized with cv2).
     stride: window step in observations.
+    inference_preprocessing: preprocess each frame exactly as
+      ImageAligner.__call__ will at deployment (CLAHE equalize_adapthist
+      at full resolution, then INTER_NEAREST resize, then min-max) —
+      set True when the deployed aligner runs with
+      adaptive_normalization so the drift head trains on the input
+      distribution it will actually see; False keeps the plain
+      INTER_LINEAR + min-max path.
 
   Yields:
     {'images': (S,S,T), 'mask': (S,S,T*3), 'drift': (T,2)} examples.
@@ -381,8 +388,17 @@ def examples_from_labeled_trajectory(
     img = np.asarray(obs.image, np.float32)
     if img.ndim == 3:
       img = img[..., 0]
+    if inference_preprocessing:
+      from putting_dune_tpu.imaging import clahe as clahe_lib
+
+      img = np.asarray(
+          clahe_lib.equalize_adapthist_padded(jnp.asarray(img[None]))
+      )[0]
+      interpolation = cv2.INTER_NEAREST
+    else:
+      interpolation = cv2.INTER_LINEAR
     img = cv2.resize(
-        img, (image_size, image_size), interpolation=cv2.INTER_LINEAR
+        img, (image_size, image_size), interpolation=interpolation
     )
     lo, hi = float(img.min()), float(img.max())
     frames.append((img - lo) / max(hi - lo, 1e-12))

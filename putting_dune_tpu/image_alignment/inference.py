@@ -223,7 +223,9 @@ class ImageAligner:
     if image.ndim == 2:
       image = image[..., None]
     if self.adaptive_normalization:
-      eq = clahe_lib.equalize_adapthist(
+      # _padded: real microscope frames come in arbitrary sizes; the
+      # core kernel requires 2*grid-divisible dims.
+      eq = clahe_lib.equalize_adapthist_padded(
           jnp.asarray(image[None, ..., 0])
       )
       image = np.asarray(eq)[0][..., None]

@@ -225,3 +225,39 @@ def equalize_adapthist(
       .reshape(b, (g + 1) * th, (g + 1) * tw)
   )
   return out_padded[:, pad_h:pad_h + h, pad_w:pad_w + w]
+
+
+def equalize_adapthist_padded(
+    image: jnp.ndarray,
+    clip_limit: float = 0.01,
+    grid_size: int = 8,
+    nbins: int = 256,
+    backend: str = 'auto',
+) -> jnp.ndarray:
+  """CLAHE for frames of ANY spatial size (real-microscope inputs).
+
+  The core `equalize_adapthist` requires H and W divisible by
+  2*grid_size (tiles plus their even quadrant split); synthetic frames
+  (128/256/512) always are, but REAL microscope dumps come in arbitrary
+  sizes (e.g. 1000x1000). Mirroring skimage's equalize_adapthist —
+  which reflect-pads up to a multiple of its kernel size and crops back
+  (the reference's imaging.py:239-265 noise chain ends in exactly that
+  call) — this wrapper pads symmetrically, equalizes, and crops.
+
+  Note: a padded size is generally not 128-lane aligned, so on TPU the
+  computation takes the XLA one-hot path, which materializes large
+  intermediates at big sizes; arbitrary-size frames are a host/offline
+  pipeline concern, so run those under a CPU jax context.
+  """
+  b, h, w = image.shape
+  mult = 2 * grid_size
+  ph = (-h) % mult
+  pw = (-w) % mult
+  if not ph and not pw:
+    return equalize_adapthist(image, clip_limit, grid_size, nbins, backend)
+  pads = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+  # Reflect padding needs pad < dim; tiny frames fall back to edge.
+  mode = 'reflect' if min(h, w) > mult else 'edge'
+  padded = jnp.pad(image, pads, mode=mode)
+  out = equalize_adapthist(padded, clip_limit, grid_size, nbins, backend)
+  return out[:, pads[1][0]:pads[1][0] + h, pads[2][0]:pads[2][0] + w]

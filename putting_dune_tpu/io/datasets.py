@@ -21,8 +21,10 @@ same layout (reference train/test TFDS splits, dataset.py:95-113).
 from __future__ import annotations
 
 import glob
+import itertools
 import os
-from typing import Dict, Iterable, Iterator, List, Optional
+import shutil
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 
@@ -71,7 +73,11 @@ def write_examples(
 
   Pre-existing shards in the directory are removed first: a smaller
   re-materialization must not leave stale high-numbered shards mixed
-  into the new dataset.
+  into the new dataset. NOTE this writes IN PLACE — a crash
+  mid-generation leaves a truncated dataset (and the old one already
+  deleted). Dataset materialization should go through
+  `write_split_dataset`, which stages into a sibling directory and
+  publishes only a complete dataset.
   """
   os.makedirs(records_dir, exist_ok=True)
   for stale in glob.glob(os.path.join(records_dir, _SHARD_GLOB)):
@@ -92,6 +98,62 @@ def write_examples(
   if pending:
     flush()
   return paths
+
+
+def write_split_dataset(
+    records_dir: str,
+    make_examples: Callable[[int], Iterable[Example]],
+    *,
+    num_examples: int,
+    test_examples: int = 0,
+    examples_per_shard: int = 256,
+) -> int:
+  """Materializes a train(+test) dataset and publishes it atomically.
+
+  `make_examples(stream)` returns an example iterable; stream 0 feeds
+  the train split, stream 1 the held-out `test/` split — callers key a
+  disjoint RNG off the stream index. The dataset is generated into a
+  sibling staging directory and swapped into place only once COMPLETE:
+
+    * a crash mid-generation leaves any previous dataset untouched
+      instead of replacing it with a silently-truncated one that
+      shard_paths/records_iterator would accept;
+    * re-materializing with different parameters replaces the WHOLE
+      directory, so a stale `test/` split (e.g. from an earlier
+      test_examples>0 run) cannot survive to silently feed eval.
+
+  The records_dir is owned by this layout (part-* shards + test/);
+  anything else in it is replaced. Returns num_examples.
+  """
+  records_dir = records_dir.rstrip('/')
+  staging = f'{records_dir}.incoming-{os.getpid()}'
+  retired = f'{records_dir}.retired-{os.getpid()}'
+  for leftover in (staging, retired):
+    if os.path.isdir(leftover):
+      shutil.rmtree(leftover)
+  try:
+    write_examples(
+        staging,
+        itertools.islice(make_examples(0), num_examples),
+        examples_per_shard=examples_per_shard,
+    )
+    if test_examples > 0:
+      write_examples(
+          os.path.join(staging, 'test'),
+          itertools.islice(make_examples(1), test_examples),
+          examples_per_shard=examples_per_shard,
+      )
+  except BaseException:
+    shutil.rmtree(staging, ignore_errors=True)
+    raise
+  # Publish: both renames are same-filesystem (sibling paths). A crash
+  # between them leaves no records_dir but the old data intact under
+  # the retired name — detectable, never silently wrong.
+  if os.path.exists(records_dir):
+    os.rename(records_dir, retired)
+  os.rename(staging, records_dir)
+  shutil.rmtree(retired, ignore_errors=True)
+  return num_examples
 
 
 def shard_paths(records_dir: str) -> List[str]:

@@ -47,7 +47,7 @@ import ctypes
 import ctypes.util
 import functools
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 BLOCK_SIZE = 1 << 16
 BLOCK_HEADER_SIZE = 24
@@ -380,7 +380,13 @@ def _decompress_block(
     return _zstd_decompress(payload, size), end
   if compression == COMPRESSION_SNAPPY:
     return _snappy_decompress(payload, size), end
-  raise RiegeliFormatError(f'unknown compression type 0x{compression:02x}')
+  # Unknown-to-this-decoder, not necessarily corrupt: a newer writer may
+  # use a compression code outside the spec revision implemented here.
+  # Unsupported (NotImplementedError) lets records._read_riegeli fall
+  # back to the optional riegeli package when it is installed.
+  raise RiegeliUnsupportedError(
+      f'unknown compression type 0x{compression:02x}'
+  )
 
 
 # --- block-aware logical reads -------------------------------------------------
@@ -806,7 +812,10 @@ def read_riegeli_records(path: str, verify: bool = True) -> List[bytes]:
     ):
       pass
     else:
-      raise RiegeliFormatError(
+      # See the compression case above: an unknown chunk type is a
+      # construct this decoder doesn't implement, so fall back to the
+      # optional riegeli package rather than reporting corruption.
+      raise RiegeliUnsupportedError(
           f'{path}: unknown chunk type 0x{chunk_type:02x} at {data_start}'
       )
   return records
@@ -912,57 +921,65 @@ def write_riegeli_records(
   every 64 KiB file offset, HighwayHash digests in every header.
   compression: 'uncompressed' | 'brotli' | 'zstd' | 'snappy' | None
   (None = brotli when libbrotlienc exists, else uncompressed).
+
+  The file streams out chunk-by-chunk (peak memory = one encoded chunk,
+  not 2x the file): every block header's fields are local to the chunk
+  being emitted — previous_chunk points back to that chunk's boundary
+  and next_chunk forward to its end (the next chunk's boundary) — so
+  headers can be finalized inline.
   """
   comp = _resolve_compression(compression)
 
-  chunks = [_chunk_bytes(CHUNK_SIGNATURE, b'', 0, 0)]
-  group: List[bytes] = []
-  group_bytes = 0
-  for p in payloads:
-    p = bytes(p)
-    group.append(p)
-    group_bytes += len(p)
-    if group_bytes >= chunk_target_bytes:
-      chunks.append(_encode_simple_chunk(group, comp))
-      group, group_bytes = [], 0
-  if group:
-    chunks.append(_encode_simple_chunk(group, comp))
-
-  # Interleave block headers (24-byte placeholders, filled in below) at
-  # every BLOCK_SIZE offset; record each chunk's boundary position.
-  stream = bytearray()
-  boundaries: List[int] = []
-  block_headers: List[int] = []
-
-  def emit(chunk: bytes) -> None:
-    boundaries.append(len(stream))
-    offset = 0
-    while offset < len(chunk):
-      if len(stream) % BLOCK_SIZE == 0:
-        block_headers.append(len(stream))
-        stream.extend(b'\x00' * BLOCK_HEADER_SIZE)
-      take = min(
-          len(chunk) - offset, BLOCK_SIZE - len(stream) % BLOCK_SIZE
-      )
-      stream.extend(chunk[offset:offset + take])
-      offset += take
-
-  for chunk in chunks:
-    emit(chunk)
-
-  # Block header fields: previous_chunk = distance back to the chunk
-  # boundary at or before the block begin; next_chunk = distance forward
-  # to the first boundary strictly after it (end-of-stream = where the
-  # next chunk would begin). A boundary coinciding with the block begin
-  # (chunk starts right after the header) gives previous_chunk == 0 —
-  # semantics confirmed against real riegeli writer output.
-  ends = boundaries + [len(stream)]
-  for block in block_headers:
-    prev = block - max(b for b in boundaries if b <= block)
-    nxt = min(e for e in ends if e > block) - block
-    body = struct.pack('<QQ', prev, nxt)
-    packed = struct.pack('<Q', highwayhash64(body)) + body
-    stream[block:block + BLOCK_HEADER_SIZE] = packed
+  def chunks() -> Iterator[bytes]:
+    yield _chunk_bytes(CHUNK_SIGNATURE, b'', 0, 0)
+    group: List[bytes] = []
+    group_bytes = 0
+    for p in payloads:
+      p = bytes(p)
+      group.append(p)
+      group_bytes += len(p)
+      if group_bytes >= chunk_target_bytes:
+        yield _encode_simple_chunk(group, comp)
+        group, group_bytes = [], 0
+    if group:
+      yield _encode_simple_chunk(group, comp)
 
   with open(path, 'wb') as f:
-    f.write(bytes(stream))
+    pos = 0
+    for chunk in chunks():
+      pos = _emit_chunk(f, pos, chunk)
+
+
+def _emit_chunk(f, pos: int, chunk: bytes) -> int:
+  """Writes one chunk starting at stream offset `pos` (its boundary),
+  interleaving finalized block headers at every BLOCK_SIZE offset;
+  returns the end offset (= the next chunk's boundary).
+
+  Header fields: previous_chunk = distance back to the boundary at or
+  before the block begin (0 when a chunk starts right after the header),
+  next_chunk = distance forward to the first boundary strictly after it
+  — for a header inside this chunk that is always this chunk's end.
+  Semantics confirmed against real riegeli writer output.
+  """
+  start = pos
+  # First pass: end offset including the headers this chunk straddles.
+  p, remaining = pos, len(chunk)
+  while remaining:
+    if p % BLOCK_SIZE == 0:
+      p += BLOCK_HEADER_SIZE
+    take = min(remaining, BLOCK_SIZE - p % BLOCK_SIZE)
+    p += take
+    remaining -= take
+  end = p
+  # Second pass: write bytes with finalized headers inline.
+  offset = 0
+  while offset < len(chunk):
+    if pos % BLOCK_SIZE == 0:
+      body = struct.pack('<QQ', pos - start, end - pos)
+      f.write(struct.pack('<Q', highwayhash64(body)) + body)
+      pos += BLOCK_HEADER_SIZE
+    take = min(len(chunk) - offset, BLOCK_SIZE - pos % BLOCK_SIZE)
+    f.write(chunk[offset:offset + take])
+    offset += take
+    pos += take
+  return end

@@ -162,6 +162,27 @@ def test_clahe_improves_contrast_and_stays_in_range():
   assert corr > 0.9
 
 
+def test_clahe_padded_handles_arbitrary_real_frame_sizes():
+  """Real microscope dumps come in sizes the core kernel rejects (not
+  2*grid-divisible, e.g. 1000x1000 or 24x24); equalize_adapthist_padded
+  must handle them (skimage pads the same way) and stay a no-op wrapper
+  on already-compatible sizes."""
+  key = jax.random.PRNGKey(11)
+  # Compatible size: identical to the core kernel.
+  img = 0.4 + 0.2 * jax.random.uniform(key, (1, 128, 128))
+  np.testing.assert_allclose(
+      np.asarray(clahe_lib.equalize_adapthist_padded(img)),
+      np.asarray(clahe_lib.equalize_adapthist(img)),
+  )
+  # Incompatible sizes: run, preserve shape/range, stretch contrast.
+  for h, w in ((24, 24), (100, 120), (250, 198)):
+    frame = 0.4 + 0.2 * jax.random.uniform(key, (1, h, w))
+    out = np.asarray(clahe_lib.equalize_adapthist_padded(frame))
+    assert out.shape == (1, h, w)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert out.std() > np.asarray(frame).std() * 1.5
+
+
 def test_clahe_backends_agree():
   """The fused pallas kernel (interpret mode on CPU) matches the XLA path."""
   key = jax.random.PRNGKey(21)

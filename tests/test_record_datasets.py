@@ -57,6 +57,47 @@ def test_write_read_sharded(tmp_path):
   ]
 
 
+def test_write_split_dataset_replaces_stale_test_split(tmp_path):
+  d = str(tmp_path / 'ds')
+
+  def make(stream):
+    # Disjoint streams: train ids 0..N, test ids 100..100+N.
+    return iter(_toy_examples(200)[100 * stream:])
+
+  datasets.write_split_dataset(d, make, num_examples=6, test_examples=3)
+  assert datasets.count_examples(d) == 6
+  assert datasets.count_examples(datasets.split_dir(d, 'test')) == 3
+
+  # Re-materializing WITHOUT a test split must not leave the old test/
+  # directory behind to silently feed eval (stale held-out data).
+  datasets.write_split_dataset(d, make, num_examples=4, test_examples=0)
+  assert datasets.count_examples(d) == 4
+  with pytest.raises(FileNotFoundError):
+    datasets.split_dir(d, 'test')
+
+
+def test_write_split_dataset_crash_keeps_previous_dataset(tmp_path):
+  d = str(tmp_path / 'ds')
+  datasets.write_split_dataset(
+      d, lambda stream: iter(_toy_examples(10)), num_examples=10,
+      test_examples=0, examples_per_shard=4,
+  )
+
+  def exploding(stream):
+    yield from _toy_examples(3)
+    raise RuntimeError('generator died mid-materialization')
+
+  # A crash mid-generation must leave the PREVIOUS dataset intact — not
+  # a silently-truncated 3-example one that records_iterator would
+  # happily train on.
+  with pytest.raises(RuntimeError, match='mid-materialization'):
+    datasets.write_split_dataset(
+        d, exploding, num_examples=10, test_examples=0,
+    )
+  assert datasets.count_examples(d) == 10
+  assert not [p for p in os.listdir(str(tmp_path)) if 'incoming' in p]
+
+
 def test_split_dir_resolution(tmp_path):
   d = str(tmp_path / 'ds')
   datasets.write_examples(d, _toy_examples(4), examples_per_shard=4)
@@ -336,6 +377,33 @@ def test_examples_from_labeled_trajectory(tmp_path):
     # Masks are all-background one-hots for every frame.
     np.testing.assert_allclose(ex['mask'][..., 0::3], 1.0)
     np.testing.assert_allclose(ex['mask'][..., 1::3], 0.0)
+
+  # inference_preprocessing=True must feed the drift head exactly what
+  # ImageAligner.__call__ will at deployment (CLAHE at full resolution,
+  # INTER_NEAREST resize, min-max) — otherwise training on real records
+  # bakes in train/serve skew.
+  import cv2
+  import jax.numpy as jnp
+
+  from putting_dune_tpu.imaging import clahe as clahe_lib
+
+  (ex_inf,) = list(
+      align_data.examples_from_labeled_trajectory(
+          labeled, num_frames=num_obs, image_size=32,
+          inference_preprocessing=True,
+      )
+  )
+  raw0 = np.asarray(observations[0].image, np.float32)
+  eq = np.asarray(
+      clahe_lib.equalize_adapthist_padded(jnp.asarray(raw0[None]))
+  )[0]
+  eq = cv2.resize(eq, (32, 32), interpolation=cv2.INTER_NEAREST)
+  lo, hi = float(eq.min()), float(eq.max())
+  expected0 = (eq - lo) / max(hi - lo, 1e-12)
+  np.testing.assert_allclose(ex_inf['images'][..., 0], expected0, atol=1e-6)
+  assert not np.allclose(
+      ex_inf['images'][..., 0], examples[0]['images'][..., 0]
+  )
 
   # Round-trip the labeled trajectory through its RECORD format, convert,
   # materialize, and run one real train step with ce disabled.

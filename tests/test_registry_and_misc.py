@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from putting_dune_tpu import lattice as lattice_lib
 from putting_dune_tpu import rates as rates_lib
@@ -158,6 +159,20 @@ def test_shipped_distilled_planner_reaches_goals():
   )
   agg = eval_lib.aggregate_results(results)
   assert agg.average_num_times_reached_goal >= 0.75
+
+
+def test_eval_cli_rejects_mesh_with_host_loop():
+  """--mesh with --nobatched must fail loudly: the per-seed host loop is
+  single-device, and silently dropping the flag would let the user
+  believe the suite was sharded."""
+  from putting_dune_tpu import eval as eval_cli
+
+  args = eval_cli.Args(
+      experiment_name='greedy_simple_rates', eval_suite='tiny_eval',
+      batched=False, mesh='data',
+  )
+  with pytest.raises(ValueError, match='batched'):
+    eval_cli.main(args)
 
 
 def test_multi_dopant_registry_checkpoint_reaches_goals():

@@ -391,6 +391,44 @@ def test_truncated_inside_block_header(tmp_path):
     rn.read_riegeli_records(cut)
 
 
+def _write_raw_chunks(path, chunks):
+  """Assembles a riegeli stream from pre-built chunks (writer internals)."""
+  with open(path, 'wb') as f:
+    pos = 0
+    for chunk in chunks:
+      pos = rn._emit_chunk(f, pos, chunk)
+
+
+def test_unknown_chunk_type_is_unsupported_not_corrupt(tmp_path):
+  """A structurally-valid chunk of a type this decoder doesn't implement
+  (e.g. from a newer writer) must raise RiegeliUnsupportedError — the
+  NotImplementedError taxonomy records._read_riegeli routes to the
+  optional riegeli package — not RiegeliFormatError ('corrupt')."""
+  path = str(tmp_path / 'future_chunk.riegeli')
+  _write_raw_chunks(path, [
+      rn._chunk_bytes(rn.CHUNK_SIGNATURE, b'', 0, 0),
+      rn._chunk_bytes(0x77, b'payload-of-a-future-chunk-kind', 1, 30),
+  ])
+  with pytest.raises(rn.RiegeliUnsupportedError, match='chunk type 0x77'):
+    rn.read_riegeli_records(path)
+
+
+def test_unknown_compression_code_is_unsupported_not_corrupt(tmp_path):
+  """Same taxonomy for an unknown compression byte inside a simple chunk
+  (all hashes valid, so the file is not corrupt — just unsupported)."""
+  # Simple-chunk layout: compression byte, varint sizes_len, sizes, values.
+  data = bytes([0x99]) + bytes([1]) + bytes([3]) + b'abc'
+  path = str(tmp_path / 'future_comp.riegeli')
+  _write_raw_chunks(path, [
+      rn._chunk_bytes(rn.CHUNK_SIGNATURE, b'', 0, 0),
+      rn._chunk_bytes(rn.CHUNK_SIMPLE, data, 1, 3),
+  ])
+  with pytest.raises(
+      rn.RiegeliUnsupportedError, match='compression type 0x99'
+  ):
+    rn.read_riegeli_records(path)
+
+
 def test_missing_decompression_lib_falls_back_to_package(
     tmp_path, monkeypatch
 ):
