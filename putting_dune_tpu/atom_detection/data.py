@@ -11,7 +11,6 @@ labeled entirely on the accelerator.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Dict, Iterator, Optional
 
 import jax

@@ -133,6 +133,13 @@ def train(config: Config, *, mesh=None, progress=None,
   """
   import orbax.checkpoint as ocp
 
+  if config.steps_per_epoch <= 0 and config.eval_steps <= 0:
+    raise ValueError(
+        'steps_per_epoch and eval_steps cannot both be 0: every epoch '
+        'must produce at least one metric for the best-checkpoint '
+        'manager (a checkpoint-flush-only run should set eval_steps>=1).'
+    )
+
   if mesh is None:
     mesh = mesh_lib.make_mesh()
   state = create_state(config, mesh)
@@ -220,21 +227,22 @@ def train(config: Config, *, mesh=None, progress=None,
     for _ in range(config.eval_steps):
       batch = mesh_lib.global_batch(next(eval_iter), mesh)
       eval_accs.append(eval_step(state, batch))
-    train_accuracy = float(
-        np.mean([jax.device_get(m['accuracy']) for m in metrics_acc])
+    # With eval_steps=0 the best-checkpoint metric falls back to train
+    # accuracy; with steps_per_epoch=0 (checkpoint-flush/eval-only epoch)
+    # the train keys are omitted rather than averaging an empty list into
+    # NaN. The config validation above guarantees at least one source.
+    summary = {}
+    if metrics_acc:
+      summary['loss'] = float(
+          np.mean([jax.device_get(m['loss']) for m in metrics_acc])
+      )
+      summary['train_accuracy'] = float(
+          np.mean([jax.device_get(m['accuracy']) for m in metrics_acc])
+      )
+    summary['accuracy'] = (
+        float(np.mean(jax.device_get(eval_accs)))
+        if eval_accs else summary['train_accuracy']
     )
-    summary = {
-        'loss': float(
-            np.mean([jax.device_get(m['loss']) for m in metrics_acc])
-        ),
-        'train_accuracy': train_accuracy,
-        # With eval_steps=0 the best-checkpoint metric falls back to train
-        # accuracy rather than feeding NaN into orbax best_fn.
-        'accuracy': (
-            float(np.mean(jax.device_get(eval_accs)))
-            if eval_accs else train_accuracy
-        ),
-    }
     manager.save(
         epoch, args=ocp.args.StandardSave(state), metrics=summary
     )

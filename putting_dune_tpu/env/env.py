@@ -76,6 +76,12 @@ class EnvState(struct.PyTreeNode):
   adapter_state: Any
   step_count: jnp.ndarray  # (B,) int32, steps taken this episode.
   needs_reset: jnp.ndarray  # (B,) bool, previous step ended the episode.
+  # (B,) int32: steps this episode where the KMC max_events safety cap cut
+  # the dwell short (KMCResult.truncated). Always 0 under sane rate
+  # functions; nonzero means the physics of those steps is incomplete
+  # (e.g. a misbehaving learned rate model) and metrics derived from the
+  # episode should be treated as suspect.
+  kmc_truncation_count: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,6 +158,7 @@ class PuttingDuneEnv:
         adapter_state=adapter_state,
         step_count=jnp.zeros((batch_size,), jnp.int32),
         needs_reset=jnp.zeros((batch_size,), bool),
+        kmc_truncation_count=jnp.zeros((batch_size,), jnp.int32),
     )
     return state, obs
 
@@ -209,7 +216,7 @@ class PuttingDuneEnv:
     # step(), after per-env branch selection — computing them in both the
     # stepped and reset branches would double the dominant costs of
     # image-observation envs.
-    sim_state, obs, _ = simulator_lib.step(
+    sim_state, obs, kmc_result = simulator_lib.step(
         state.sim,
         k_step,
         control,
@@ -253,6 +260,8 @@ class PuttingDuneEnv:
         adapter_state=adapter_state,
         step_count=step_count,
         needs_reset=jnp.logical_or(terminal, truncated),
+        kmc_truncation_count=state.kmc_truncation_count
+        + kmc_result.truncated.astype(jnp.int32),
     )
     # ---- reset branch (fresh episodes for envs flagged needs_reset) -------
     # lax.cond skips the whole fresh-reset computation (FOV/goal/imaging

@@ -49,6 +49,10 @@ class MultiDopantState(struct.PyTreeNode):
   latched: jnp.ndarray  # (B, D) bool, dopant has completed its goal
   steps: jnp.ndarray  # (B,) int32
   needs_reset: jnp.ndarray  # (B,) bool
+  # (B,) int32: steps this episode where the KMC max_events safety cap cut
+  # the dwell short (KMCMultiResult.truncated). Always 0 under sane rate
+  # functions; nonzero flags incomplete physics on those steps.
+  kmc_truncation_count: jnp.ndarray
   imaging: structures.ImagingParams  # per-episode render randomization
   # (B, 2) cumulative instrument drift, material-frame angstroms (same
   # semantics as structures.SimulatorState.drift); None == zero.
@@ -367,6 +371,7 @@ class MultiDopantEnv(struct.PyTreeNode):
         latched=jnp.zeros((b, d), bool),
         steps=jnp.zeros((b,), jnp.int32),
         needs_reset=jnp.zeros((b,), bool),
+        kmc_truncation_count=jnp.zeros((b,), jnp.int32),
         imaging=imaging_params.sample_imaging_params(
             k_imaging, b, noisy=self.noisy_images
         ),
@@ -475,7 +480,11 @@ class MultiDopantEnv(struct.PyTreeNode):
         (b,), self.dwell_seconds + self.image_duration_seconds
     )
     new_state = state.replace(
-        si_indices=result.si_indices, steps=state.steps + 1, drift=drift
+        si_indices=result.si_indices,
+        steps=state.steps + 1,
+        drift=drift,
+        kmc_truncation_count=state.kmc_truncation_count
+        + result.truncated.astype(jnp.int32),
     )
 
     si = self._si_positions(new_state)  # (B, D, 2)

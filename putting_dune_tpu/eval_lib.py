@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import datetime as dt
+import logging
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -256,6 +257,12 @@ def evaluate_batched(
         reward=jnp.zeros((batch,), jnp.float32),
         loop_i=jnp.asarray(0, jnp.int32),
     )
+    if hasattr(state, 'kmc_truncation_count'):
+      # Total steps (across the whole batch) where the KMC max_events
+      # safety cap cut a dwell short — nonzero means some episodes ran
+      # on incomplete physics (e.g. a misbehaving learned rate model)
+      # and the aggregate metrics deserve suspicion.
+      init['kmc_truncations'] = jnp.asarray(0, jnp.int32)
     if stateful:
       init['pstate'] = policy.init(ts.observation)
     if nvid:
@@ -320,6 +327,15 @@ def evaluate_batched(
           reward=reward,
           loop_i=c['loop_i'] + 1,
       )
+      if 'kmc_truncations' in c:
+        # The per-episode counter only grows within an episode (auto-reset
+        # zeroes it), so a strict increase marks a step the cap truncated.
+        out['kmc_truncations'] = c['kmc_truncations'] + jnp.sum(
+            (
+                state.kmc_truncation_count
+                > c['state'].kmc_truncation_count
+            ).astype(jnp.int32)
+        )
       if stateful:
         out['pstate'] = pstate
       if nvid:
@@ -387,6 +403,16 @@ def evaluate_batched(
       (carry['reached'], carry['steps'], carry['env_seconds'],
        carry['reward'])
   )
+  if 'kmc_truncations' in carry:
+    kmc_truncations = int(jax.device_get(carry['kmc_truncations']))
+    if kmc_truncations > 0:
+      logging.warning(
+          'evaluate_batched: the KMC max_events safety cap truncated %d '
+          'step(s) across the batch — the rate function produced event '
+          'rates beyond the configured physics budget, so affected '
+          'episodes ran incomplete dynamics and these results should be '
+          'treated as suspect.', kmc_truncations,
+      )
   video = jax.device_get(carry['video']) if nvid else None
   if nvid:
     _save_batched_videos(

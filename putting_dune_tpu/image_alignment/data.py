@@ -10,7 +10,6 @@ cumulative drifts (angstroms) relative to the final frame.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Dict, Optional
 
 import jax

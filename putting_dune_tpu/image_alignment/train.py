@@ -170,6 +170,13 @@ def train(config: Config, *, mesh=None, progress=None,
           stop_fn=None) -> TrainState:
   import orbax.checkpoint as ocp
 
+  if config.steps_per_epoch <= 0 and config.eval_steps <= 0:
+    raise ValueError(
+        'steps_per_epoch and eval_steps cannot both be 0: every epoch '
+        'must produce at least one metric for the best-checkpoint '
+        'manager (a checkpoint-flush-only run should set eval_steps>=1).'
+    )
+
   if mesh is None:
     mesh = mesh_lib.make_mesh()
   state = create_state(config, mesh)

@@ -220,6 +220,12 @@ def resolve_artifact(
     unpack(archive, tmp_root)
     with open(os.path.join(tmp_root, '.complete'), 'w') as f:
       f.write(extract_key)
+    # A COMPLETE extraction published by a concurrent process must be
+    # served, never deleted — its caller may already be reading files out
+    # of it. Only an incomplete residue (crashed unpack: files but no
+    # marker) is cleared to make room for the rename.
+    if os.path.exists(done_marker):
+      return model_dir
     shutil.rmtree(extract_root, ignore_errors=True)
     try:
       os.rename(tmp_root, extract_root)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob
 import itertools
+import logging
 import os
 import shutil
 from typing import Callable, Dict, Iterable, Iterator, List, Optional
@@ -123,7 +124,11 @@ def write_split_dataset(
       test_examples>0 run) cannot survive to silently feed eval.
 
   The records_dir is owned by this layout (part-* shards + test/);
-  anything else in it is replaced. Returns num_examples.
+  anything else in it is replaced. Returns the number of TRAIN examples
+  actually written: `num_examples` is a cap, and a finite generator that
+  runs dry earlier (e.g. a short real labeled trajectory) publishes what
+  it yielded — the shortfall is logged, and callers sizing epochs must
+  use the return value, not the requested count.
   """
   records_dir = records_dir.rstrip('/')
   staging = f'{records_dir}.incoming-{os.getpid()}'
@@ -131,21 +136,39 @@ def write_split_dataset(
   for leftover in (staging, retired):
     if os.path.isdir(leftover):
       shutil.rmtree(leftover)
+
+  counts = [0, 0]
+
+  def counted(stream: int, limit: int) -> Iterator[Example]:
+    for example in itertools.islice(make_examples(stream), limit):
+      counts[stream] += 1
+      yield example
+
   try:
     write_examples(
         staging,
-        itertools.islice(make_examples(0), num_examples),
+        counted(0, num_examples),
         examples_per_shard=examples_per_shard,
     )
     if test_examples > 0:
       write_examples(
           os.path.join(staging, 'test'),
-          itertools.islice(make_examples(1), test_examples),
+          counted(1, test_examples),
           examples_per_shard=examples_per_shard,
       )
   except BaseException:
     shutil.rmtree(staging, ignore_errors=True)
     raise
+  for stream, requested, split in (
+      (0, num_examples, 'train'),
+      (1, test_examples, 'test'),
+  ):
+    if counts[stream] < requested:
+      logging.warning(
+          'write_split_dataset(%s): the example generator yielded only '
+          '%d/%d %s examples; publishing the smaller dataset.',
+          records_dir, counts[stream], requested, split,
+      )
   # Publish: both renames are same-filesystem (sibling paths). A crash
   # between them leaves no records_dir but the old data intact under
   # the retired name — detectable, never silently wrong.
@@ -153,7 +176,7 @@ def write_split_dataset(
     os.rename(records_dir, retired)
   os.rename(staging, records_dir)
   shutil.rmtree(retired, ignore_errors=True)
-  return num_examples
+  return counts[0]
 
 
 def shard_paths(records_dir: str) -> List[str]:

@@ -46,6 +46,7 @@ from __future__ import annotations
 import ctypes
 import ctypes.util
 import functools
+import logging
 import struct
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -182,6 +183,9 @@ def _highwayhash64_py(data: bytes, key=RIEGELI_HASH_KEY) -> int:
   return (v0[0] + v1[0] + mul0[0] + mul1[0]) & _M64
 
 
+_warned_python_hash = False
+
+
 def highwayhash64(data: bytes, key=RIEGELI_HASH_KEY) -> int:
   """HighwayHash-64 of data: native when built, pure-Python otherwise."""
   from putting_dune_tpu.io import records as records_lib
@@ -190,6 +194,20 @@ def highwayhash64(data: bytes, key=RIEGELI_HASH_KEY) -> int:
   if lib is not None and hasattr(lib, 'pd_highwayhash64'):
     ckey = (ctypes.c_uint64 * 4)(*key)
     return int(lib.pd_highwayhash64(ctypes.byref(ckey), data, len(data)))
+  # The pure-Python hash is ~1000x slower than the native one, and
+  # verify=True (the default) hashes every block header, chunk header,
+  # and all chunk data — on a multi-GB dump that turns seconds into
+  # hours, indistinguishable from a hang. Surface the degradation once.
+  global _warned_python_hash
+  if not _warned_python_hash:
+    _warned_python_hash = True
+    logging.getLogger(__name__).warning(
+        'riegeli_native: native HighwayHash extension not built '
+        '(no C++ toolchain?) — falling back to the pure-Python hash, '
+        'which is orders of magnitude slower. For large files, build '
+        'the native codec or pass verify=False to '
+        'read_riegeli_records to skip integrity hashing.'
+    )
   return _highwayhash64_py(data, key)
 
 

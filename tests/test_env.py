@@ -380,3 +380,83 @@ class DmEnvConformanceTest(
         grid_columns=10,
         simulator_step_limit=20,
     )
+
+
+def test_kmc_truncation_count_surfaces_capped_physics():
+  """A misbehaving rate fn that trips the KMC max_events cap is VISIBLE at
+  the env level: EnvState.kmc_truncation_count counts capped steps per
+  episode (and stays 0 under sane rates / after auto-reset)."""
+
+  def runaway_rates(si_pos, neighbor_pos, beam_pos):
+    del neighbor_pos, beam_pos
+    return jnp.full(si_pos.shape[:-1] + (3,), 1e6)
+
+  config = env_lib.EnvConfig(
+      sim=simulator_lib.SimulatorConfig(
+          grid_columns=20, max_kmc_events_per_step=25
+      ),
+      step_limit=600,
+  )
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE, rate_fn=runaway_rates, config=config, batch_size=4
+  )
+  state, _ = env.reset(jax.random.PRNGKey(0))
+  assert np.asarray(state.kmc_truncation_count).tolist() == [0] * 4
+  action = jnp.zeros((4, 2), jnp.float32)
+  state, _ = env.step(state, action, jax.random.PRNGKey(1))
+  assert np.asarray(state.kmc_truncation_count).tolist() == [1] * 4
+  state, _ = env.step(state, action, jax.random.PRNGKey(2))
+  assert np.asarray(state.kmc_truncation_count).tolist() == [2] * 4
+
+  # Sane rates never trip the default cap.
+  env_sane = make_env()
+  s, _ = env_sane.reset(jax.random.PRNGKey(0))
+  for i in range(3):
+    s, _ = env_sane.step(s, action, jax.random.PRNGKey(10 + i))
+  assert np.asarray(s.kmc_truncation_count).tolist() == [0] * 4
+
+
+def test_evaluate_batched_warns_on_kmc_truncation(caplog):
+  """A rate fn that trips the KMC cap during evaluation is surfaced as a
+  warning with the number of truncated steps."""
+  import logging as _logging
+
+  from putting_dune_tpu import eval_lib
+
+  def runaway_rates(si_pos, neighbor_pos, beam_pos):
+    del neighbor_pos, beam_pos
+    return jnp.full(si_pos.shape[:-1] + (3,), 1e6)
+
+  config = env_lib.EnvConfig(
+      sim=simulator_lib.SimulatorConfig(
+          grid_columns=20, max_kmc_events_per_step=25
+      ),
+      step_limit=600,
+  )
+  env = env_lib.PuttingDuneEnv(
+      lattice=LATTICE, rate_fn=runaway_rates, config=config, batch_size=4
+  )
+
+  def zero_policy(key, obs):
+    del key
+    return jnp.zeros((obs.shape[0], 2), jnp.float32)
+
+  with caplog.at_level(_logging.WARNING):
+    results = eval_lib.evaluate_batched(
+        env, zero_policy, seeds=[0, 1, 2, 3], max_steps=3
+    )
+  assert len(results) == 4
+  assert any(
+      'max_events safety cap truncated' in r.message for r in caplog.records
+  )
+
+  # Sane rates: no warning.
+  caplog.clear()
+  env_sane = make_env()
+  with caplog.at_level(_logging.WARNING):
+    eval_lib.evaluate_batched(
+        env_sane, zero_policy, seeds=[0, 1, 2, 3], max_steps=3
+    )
+  assert not any(
+      'max_events safety cap' in r.message for r in caplog.records
+  )

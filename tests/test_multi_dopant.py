@@ -206,3 +206,32 @@ def test_ppo_trains_on_multi_dopant_image_env():
   train, _ = ppo.make_train(env, config)
   _, metrics = train(jax.random.PRNGKey(0))
   assert np.isfinite(np.asarray(metrics['loss'])).all()
+
+
+def test_kmc_truncation_count_surfaces_capped_physics():
+  """The KMC max_events cap is visible at the env level (parity with
+  PuttingDuneEnv.kmc_truncation_count)."""
+
+  def runaway_rates(si_pos, neighbor_pos, beam_pos):
+    del neighbor_pos, beam_pos
+    return jnp.full(si_pos.shape[:-1] + (3,), 1e6)
+
+  env = multi_dopant.MultiDopantEnv(
+      lattice=LATTICE,
+      rate_fn=runaway_rates,
+      batch_size=4,
+      num_dopants=2,
+      step_limit=50,
+      max_kmc_events_per_step=25,
+  )
+  state, _ = env.reset(jax.random.PRNGKey(0))
+  assert np.asarray(state.kmc_truncation_count).tolist() == [0] * 4
+  action = jnp.zeros((4, 2), jnp.float32)
+  state, _ = env.step(state, action, jax.random.PRNGKey(1))
+  assert np.asarray(state.kmc_truncation_count).tolist() == [1] * 4
+
+  # Sane rates: never tripped.
+  env_sane = make_env(batch=4, dopants=2)
+  s, _ = env_sane.reset(jax.random.PRNGKey(0))
+  s, _ = env_sane.step(s, action, jax.random.PRNGKey(2))
+  assert np.asarray(s.kmc_truncation_count).tolist() == [0] * 4

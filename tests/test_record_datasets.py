@@ -76,6 +76,27 @@ def test_write_split_dataset_replaces_stale_test_split(tmp_path):
     datasets.split_dir(d, 'test')
 
 
+def test_write_split_dataset_short_generator_reports_actual_count(
+    tmp_path, caplog
+):
+  """num_examples is a CAP: a generator that runs dry earlier publishes
+  what it yielded, returns the ACTUAL count, and logs the shortfall —
+  the reported size can never exceed what is on disk."""
+  import logging as _logging
+
+  d = str(tmp_path / 'ds')
+
+  def make(stream):
+    del stream
+    return iter(_toy_examples(5))
+
+  with caplog.at_level(_logging.WARNING):
+    written = datasets.write_split_dataset(d, make, num_examples=1000)
+  assert written == 5
+  assert datasets.count_examples(d) == 5
+  assert any('yielded only 5/1000' in r.message for r in caplog.records)
+
+
 def test_write_split_dataset_crash_keeps_previous_dataset(tmp_path):
   d = str(tmp_path / 'ds')
   datasets.write_split_dataset(
