@@ -330,10 +330,14 @@ def evaluate_batched(
       if 'kmc_truncations' in c:
         # The per-episode counter only grows within an episode (auto-reset
         # zeroes it), so a strict increase marks a step the cap truncated.
+        # Only live lanes count: done envs keep auto-resetting while the
+        # rest of the batch finishes, and their filler episodes must not
+        # inflate the warning total.
         out['kmc_truncations'] = c['kmc_truncations'] + jnp.sum(
-            (
+            jnp.logical_and(
+                live,
                 state.kmc_truncation_count
-                > c['state'].kmc_truncation_count
+                > c['state'].kmc_truncation_count,
             ).astype(jnp.int32)
         )
       if stateful:

@@ -24,6 +24,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 import zipfile
 from typing import Dict
@@ -220,19 +221,39 @@ def resolve_artifact(
     unpack(archive, tmp_root)
     with open(os.path.join(tmp_root, '.complete'), 'w') as f:
       f.write(extract_key)
-    # A COMPLETE extraction published by a concurrent process must be
-    # served, never deleted — its caller may already be reading files out
-    # of it. Only an incomplete residue (crashed unpack: files but no
-    # marker) is cleared to make room for the rename.
-    if os.path.exists(done_marker):
-      return model_dir
-    shutil.rmtree(extract_root, ignore_errors=True)
+    # Publish under an O_EXCL lockfile so only one process ever holds the
+    # rmtree+rename window: a COMPLETE extraction published by a concurrent
+    # process must be served, never deleted — its caller may already be
+    # reading files out of it. Only an incomplete residue (crashed unpack:
+    # files but no marker) is cleared to make room for the rename.
+    lock_path = f'{extract_root}.lock'
+    deadline = time.monotonic() + 120.0
+    while True:
+      try:
+        lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        break
+      except FileExistsError:
+        if os.path.isdir(model_dir) and os.path.exists(done_marker):
+          return model_dir  # a concurrent publisher finished first
+        if time.monotonic() > deadline:
+          # Stale lock from a crashed publisher: break it and retry.
+          try:
+            os.unlink(lock_path)
+          except FileNotFoundError:
+            pass
+          deadline = time.monotonic() + 120.0
+        time.sleep(0.05)
     try:
+      if os.path.exists(done_marker):
+        return model_dir
+      shutil.rmtree(extract_root, ignore_errors=True)
       os.rename(tmp_root, extract_root)
-    except OSError:
-      if os.path.isdir(model_dir) and os.path.exists(done_marker):
-        return model_dir  # lost the publish race to a complete extraction
-      raise
+    finally:
+      os.close(lock_fd)
+      try:
+        os.unlink(lock_path)
+      except FileNotFoundError:
+        pass
   finally:
     shutil.rmtree(tmp_root, ignore_errors=True)
   return model_dir

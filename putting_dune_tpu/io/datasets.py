@@ -169,6 +169,15 @@ def write_split_dataset(
           '%d/%d %s examples; publishing the smaller dataset.',
           records_dir, counts[stream], requested, split,
       )
+  if counts[0] == 0:
+    # Never retire a good dataset in favor of an empty one: a dataset with
+    # zero train shards makes every subsequent shard_paths() call raise.
+    shutil.rmtree(staging, ignore_errors=True)
+    raise ValueError(
+        f'write_split_dataset({records_dir!r}): the example generator '
+        'yielded zero train examples; refusing to publish an empty dataset '
+        '(any preexisting dataset is left untouched).'
+    )
   # Publish: both renames are same-filesystem (sibling paths). A crash
   # between them leaves no records_dir but the old data intact under
   # the retired name — detectable, never silently wrong.

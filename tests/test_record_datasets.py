@@ -97,6 +97,19 @@ def test_write_split_dataset_short_generator_reports_actual_count(
   assert any('yielded only 5/1000' in r.message for r in caplog.records)
 
 
+def test_write_split_dataset_empty_generator_keeps_previous(tmp_path):
+  """A generator yielding ZERO train examples must refuse to publish:
+  retiring a good dataset for an empty one leaves every reader raising
+  on shard_paths()."""
+  d = str(tmp_path / 'ds')
+  datasets.write_split_dataset(
+      d, lambda stream: iter(_toy_examples(4)), num_examples=4,
+  )
+  with pytest.raises(ValueError, match='zero train examples'):
+    datasets.write_split_dataset(d, lambda stream: iter(()), num_examples=8)
+  assert datasets.count_examples(d) == 4
+
+
 def test_write_split_dataset_crash_keeps_previous_dataset(tmp_path):
   d = str(tmp_path / 'ds')
   datasets.write_split_dataset(
