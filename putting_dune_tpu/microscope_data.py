@@ -7,8 +7,11 @@ beam controls, fields of view with frame conversions, observations,
 transitions, trajectories and drift labels.
 
 Design notes vs the reference:
-  * numpy-only (no shapely Points, no TF TensorProto); images round-trip
-    through the NDArray proto message (proto/putting_dune_tpu.proto).
+  * numpy-only (no shapely Points, no TensorFlow). Images round-trip
+    through the NDArray proto message by default, but reads auto-detect
+    tensorflow.TensorProto payloads (what the reference writes) via the
+    TF-free codec in io/tensorproto.py, and `image_wire_format
+    ('tensorproto')` writes reference-consumable records.
   * frames are by-convention ("microscope" = [0,1]^2, "material" =
     angstroms), as in the reference's NewType tags.
   * The device-side batched structures live in structures.py; this module
@@ -17,6 +20,8 @@ Design notes vs the reference:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import dataclasses
 import datetime as dt
 from typing import Optional, Sequence, Tuple
@@ -24,6 +29,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 from putting_dune_tpu import constants
+from putting_dune_tpu.io import tensorproto as tensorproto_lib
 from putting_dune_tpu.proto import putting_dune_tpu_pb2 as pb
 
 
@@ -45,6 +51,41 @@ def proto_to_ndarray(msg: Optional[pb.NDArray]) -> Optional[np.ndarray]:
   return np.frombuffer(msg.data, dtype=np.dtype(msg.dtype)).reshape(
       tuple(msg.shape)
   )
+
+
+# --- image wire format -------------------------------------------------------
+
+# Observation/transition image fields carry raw submessage bytes on the
+# wire (proto/putting_dune_tpu.proto): reads auto-detect NDArray vs
+# tensorflow.TensorProto (reference-written records,
+# /root/reference/putting_dune/microscope_utils.py:572-593); writes emit
+# NDArray by default, or TensorProto inside `with
+# image_wire_format('tensorproto')` for reference-consumable output.
+_image_wire_format: contextvars.ContextVar[str] = contextvars.ContextVar(
+    'image_wire_format', default=tensorproto_lib.NDARRAY_FORMAT
+)
+
+
+@contextlib.contextmanager
+def image_wire_format(fmt: str):
+  """Selects the on-wire encoding of image fields for writes in scope."""
+  if fmt not in (
+      tensorproto_lib.NDARRAY_FORMAT,
+      tensorproto_lib.TENSORPROTO_FORMAT,
+  ):
+    raise ValueError(f'Unknown image wire format {fmt!r}')
+  token = _image_wire_format.set(fmt)
+  try:
+    yield
+  finally:
+    _image_wire_format.reset(token)
+
+
+def _encode_image(array: np.ndarray) -> bytes:
+  return tensorproto_lib.encode_image_bytes(array, _image_wire_format.get())
+
+
+_decode_image = tensorproto_lib.decode_image_bytes
 
 
 def _point_to_proto(p: np.ndarray) -> pb.Point2D:
@@ -330,9 +371,9 @@ class MicroscopeObservation(ProtoModel):
         elapsed_time_seconds=self.elapsed_time.total_seconds(),
     )
     if self.image is not None:
-      msg.image.CopyFrom(ndarray_to_proto(self.image))
+      msg.image = _encode_image(self.image)
     if self.label_image is not None:
-      msg.label_image.CopyFrom(ndarray_to_proto(self.label_image))
+      msg.label_image = _encode_image(self.label_image)
     return msg
 
   @classmethod
@@ -343,9 +384,9 @@ class MicroscopeObservation(ProtoModel):
         fov=MicroscopeFieldOfView.from_proto(msg.fov),
         controls=tuple(BeamControl.from_proto(c) for c in msg.controls),
         elapsed_time=dt.timedelta(seconds=msg.elapsed_time_seconds),
-        image=proto_to_ndarray(msg.image) if msg.HasField('image') else None,
+        image=_decode_image(msg.image) if msg.HasField('image') else None,
         label_image=(
-            proto_to_ndarray(msg.label_image)
+            _decode_image(msg.label_image)
             if msg.HasField('label_image')
             else None
         ),
@@ -385,17 +426,13 @@ class Transition(ProtoModel):
     ):
       value = getattr(self, name)
       if value is not None:
-        getattr(msg, name).CopyFrom(ndarray_to_proto(value))
+        setattr(msg, name, _encode_image(value))
     return msg
 
   @classmethod
   def from_proto(cls, msg: pb.Transition) -> 'Transition':
     def image(name):
-      return (
-          proto_to_ndarray(getattr(msg, name))
-          if msg.HasField(name)
-          else None
-      )
+      return _decode_image(getattr(msg, name)) if msg.HasField(name) else None
 
     return cls(
         grid_before=AtomicGrid.from_proto(msg.grid_before),

@@ -146,6 +146,16 @@ def main() -> None:
           '(upload_microscope_data.py:223-244) and is written natively.'
       ),
   )
+  parser.add_argument(
+      '--image_format',
+      default='ndarray',
+      choices=('ndarray', 'tensorproto'),
+      help=(
+          'On-wire image encoding: ndarray (native) or tensorproto '
+          '(tensorflow.TensorProto, byte-compatible with records the '
+          'reference writes/reads — microscope_utils.py:572-593).'
+      ),
+  )
   args = parser.parse_args()
 
   root = pathlib.Path(args.directory)
@@ -163,7 +173,8 @@ def main() -> None:
     except (ValueError, KeyError) as e:
       print(f'Failed to load {dataset_path}: {e}', file=sys.stderr)
       continue
-    records.write_records(out, [trajectory])
+    with md.image_wire_format(args.image_format):
+      records.write_records(out, [trajectory])
     print(f'{dataset_path} -> {out}')
 
 
