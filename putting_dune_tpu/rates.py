@@ -255,7 +255,10 @@ class GaussianMixtureRateFunction:
     path = os.path.join(load_dir, 'gmm_parameters.mpk')
     with open(path, 'rb') as f:
       bundle = msgpack.unpackb(
-          f.read(), object_hook=serialization.msgpack_decode
+          f.read(),
+          object_hook=serialization.msgpack_decode,
+          # msgpack_numpy-layout array dicts use bytes keys (b'nd', ...).
+          strict_map_key=False,
       )
     return cls(
         max_rate=bundle['max_rate'],

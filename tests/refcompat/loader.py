@@ -29,7 +29,7 @@ import subprocess
 import sys
 import tempfile
 
-from tests.refcompat import shims
+from . import shims
 
 REFERENCE_ROOT = '/root/reference'
 

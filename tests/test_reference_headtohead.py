@@ -1,0 +1,641 @@
+"""Head-to-head parity: the ACTUAL reference code vs this framework.
+
+Every other parity test in this suite compares against re-implemented
+oracles; this module imports and RUNS /root/reference/putting_dune itself
+(via tests/refcompat) and compares:
+
+  * rate-function math (simple / human-prior / GMM) numerically,
+  * static neighbor topology vs sklearn nearest_neighbors3,
+  * KMC transition statistics (waiting times, event counts, successor
+    frequencies) distributionally on an identical grid state,
+  * FOV frame conversions numerically,
+  * eval aggregates (success rate, actions-to-goal) for greedy and
+    relative-random experiments over the same eval suites,
+  * golden record interop (tfrecords with TensorProto images) in both
+    directions.
+
+Skipped wholesale when the reference tree or its hard deps are absent.
+`runs/headtohead_report.py` runs the same comparisons and writes the
+checked-in PARITY_HEADTOHEAD.md numbers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+try:
+  from tests.refcompat import loader as _loader
+except ImportError:  # pytest rootdir puts tests/ itself on sys.path
+  from refcompat import loader as _loader
+
+try:
+  _REF = _loader.load_reference()
+  _REF_ERROR = None
+except Exception as e:  # noqa: BLE001 — any load failure means "skip"
+  _REF = None
+  _REF_ERROR = e
+
+pytestmark = pytest.mark.skipif(
+    _REF is None, reason=f'reference unavailable: {_REF_ERROR}'
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from putting_dune_tpu import kmc as kmc_lib  # noqa: E402
+from putting_dune_tpu import lattice as lattice_lib  # noqa: E402
+from putting_dune_tpu import microscope_data as md  # noqa: E402
+from putting_dune_tpu import rates as rates_lib  # noqa: E402
+from putting_dune_tpu.io import records as records_lib  # noqa: E402
+
+
+def _ref(name):
+  return _REF.module(name)
+
+
+# --- matched state construction ---------------------------------------------
+
+
+def _matched_grid(num_cols=20, offset=(0.3, -0.2), theta=0.7):
+  """One grid, two representations: our (lattice, offset, theta, si) and
+  the reference's AtomicGridMaterialFrame with identical world positions."""
+  g = _ref('graphene')
+  mu = _ref('microscope_utils')
+
+  lat = lattice_lib.make_lattice(num_cols)
+  offset = np.asarray(offset, np.float64)
+  world = np.asarray(
+      lattice_lib.world_positions(
+          lat, jnp.asarray(offset, jnp.float32), jnp.asarray(theta, jnp.float32)
+      ),
+      np.float64,
+  )
+  si_index = int(np.argmin(np.linalg.norm(world, axis=-1)))
+  nums = np.full(world.shape[0], 6)
+  nums[si_index] = 14
+  ref_grid = mu.AtomicGridMaterialFrame(mu.AtomicGrid(world, nums))
+  del g
+  return lat, offset, theta, si_index, world, ref_grid
+
+
+def _angle_order(vectors):
+  return np.argsort(np.arctan2(vectors[:, 1], vectors[:, 0]))
+
+
+# --- rate-function math ------------------------------------------------------
+
+
+def test_simple_rate_function_matches_reference_numerically():
+  g = _ref('graphene')
+  geo = _ref('geometry')
+  lat, offset, theta, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+  nbr_idx = geo.nearest_neighbors3(world, si_pos).neighbor_indices.reshape(-1)
+  nbr_pos = world[nbr_idx]
+
+  rng = np.random.default_rng(0)
+  beams = si_pos + rng.uniform(-3, 3, size=(64, 2))
+
+  theirs = np.stack([
+      g.simple_canonical_rate_function(
+          ref_grid, geo.Point(b), si_pos, nbr_idx
+      ).reshape(-1)
+      for b in beams
+  ])
+  ours = np.asarray(
+      rates_lib.simple_canonical_rates(
+          jnp.asarray(np.tile(si_pos, (64, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (64, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-6)
+
+
+def test_prior_rate_function_matches_reference_numerically():
+  g = _ref('graphene')
+  geo = _ref('geometry')
+  _, _, _, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+  nbr_idx = geo.nearest_neighbors3(world, si_pos).neighbor_indices.reshape(-1)
+  nbr_pos = world[nbr_idx]
+
+  predictor = g.HumanPriorRatePredictor()
+  rng = np.random.default_rng(1)
+  beams = si_pos + rng.uniform(-2, 2, size=(64, 2))
+
+  theirs = np.stack([
+      np.asarray(
+          predictor.predict(ref_grid, geo.Point(b), si_pos, nbr_idx)
+      ).reshape(-1)
+      for b in beams
+  ])
+  ours = np.asarray(
+      rates_lib.prior_rates(
+          jnp.asarray(np.tile(si_pos, (64, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (64, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=1e-7)
+
+
+def test_gmm_rate_function_matches_reference_numerically():
+  g = _ref('graphene')
+  geo = _ref('geometry')
+  _, _, _, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+  nbr_idx = geo.nearest_neighbors3(world, si_pos).neighbor_indices.reshape(-1)
+  nbr_pos = world[nbr_idx]
+
+  rng = np.random.default_rng(7)
+  ref_gmm = g.GaussianMixtureRateFunction.sample_new(rng)
+  ours_gmm = rates_lib.GaussianMixtureRateFunction(
+      max_rate=float(ref_gmm.max_rate),
+      mixture_weights=np.asarray(ref_gmm.mixture_weights),
+      loc_distances=np.asarray(ref_gmm.loc_distances),
+      variances=np.asarray(ref_gmm.variances),
+  )
+
+  beams = si_pos + rng.uniform(-2, 2, size=(32, 2))
+  ours = np.asarray(
+      ours_gmm(
+          jnp.asarray(np.tile(si_pos, (32, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (32, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  for k, b in enumerate(beams):
+    result = ref_gmm(ref_grid, geo.PointMaterialFrame(geo.Point(b)))
+    # Map each successor state back to WHICH neighbor its Si moved to, so
+    # the comparison is order-independent.
+    theirs = np.zeros(3)
+    for ss in result.successor_states:
+      new_si = ss.grid.atom_positions[ss.grid.atomic_numbers == 14][0]
+      j = int(np.argmin(np.linalg.norm(nbr_pos - new_si, axis=-1)))
+      theirs[j] = ss.rate
+    np.testing.assert_allclose(ours[k], theirs, rtol=5e-3, atol=1e-7)
+
+
+def test_gmm_msgpack_bundles_interoperate(tmp_path):
+  g = _ref('graphene')
+  rng = np.random.default_rng(3)
+  ref_gmm = g.GaussianMixtureRateFunction.sample_new(rng)
+
+  # Reference-written bundle -> our loader.
+  ref_dir = tmp_path / 'ref'
+  ref_gmm.serialize_to_directory(ref_dir)
+  ours = rates_lib.GaussianMixtureRateFunction.deserialize_from_directory(
+      str(ref_dir)
+  )
+  np.testing.assert_allclose(ours.mixture_weights, ref_gmm.mixture_weights)
+  np.testing.assert_allclose(ours.variances, ref_gmm.variances)
+
+  # Our bundle -> reference loader.
+  our_dir = tmp_path / 'ours'
+  ours.serialize_to_directory(str(our_dir))
+  theirs = g.GaussianMixtureRateFunction.deserialize_from_directory(our_dir)
+  np.testing.assert_allclose(theirs.loc_distances, ref_gmm.loc_distances)
+  assert abs(theirs.max_rate - ref_gmm.max_rate) < 1e-9
+
+
+# --- topology ----------------------------------------------------------------
+
+
+def test_static_neighbor_table_matches_sklearn_nearest_neighbors():
+  geo = _ref('geometry')
+  lat = lattice_lib.make_lattice(20)
+  positions = np.asarray(lat.positions, np.float64)
+  table = np.asarray(lat.neighbors)
+
+  # Interior atoms: all 3 table neighbors at bond distance (unit spacing
+  # differs from edges, where sklearn's 4th neighbor can tie).
+  d = np.linalg.norm(
+      positions[table] - positions[:, None, :], axis=-1
+  )
+  interior = np.all(np.isclose(d, d.min(), atol=1e-3), axis=1)
+  idx = np.flatnonzero(interior)
+  rng = np.random.default_rng(0)
+  for i in rng.choice(idx, size=64, replace=False):
+    ref_nbrs = geo.nearest_neighbors3(
+        positions, positions[i]
+    ).neighbor_indices.reshape(-1)
+    assert set(ref_nbrs.tolist()) == set(table[i].tolist()), i
+
+
+# --- KMC transition statistics ----------------------------------------------
+
+
+class _TransitionRecorder:
+  """Observer capturing (time, grid) per transition (the reference calls
+  observe_transition with time_since_control_was_applied + grid)."""
+
+  def __init__(self):
+    self.events = []
+
+  def observe_transition(self, time_since_control_was_applied, grid):
+    self.events.append(
+        (time_since_control_was_applied.total_seconds(), grid)
+    )
+
+  def __getattr__(self, name):
+    if name.startswith('observe_'):
+      return lambda *a, **k: None
+    raise AttributeError(name)
+
+
+def _reference_kmc_trials(n_trials, beam_delta, dwell, seed=0):
+  g = _ref('graphene')
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  _, _, _, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+
+  mat = g.PristineSingleDopedGraphene(grid_columns=20)
+  mat._has_been_reset = True  # state injected below, bypass reset()
+  rng = np.random.default_rng(seed)
+  control = mu.BeamControlMaterialFrame(
+      mu.BeamControl(
+          geo.Point(si_pos + beam_delta), dt.timedelta(seconds=dwell)
+      )
+  )
+
+  counts, first_times, first_sites = [], [], []
+  for _ in range(n_trials):
+    mat.grid = ref_grid
+    rec = _TransitionRecorder()
+    mat.apply_control(rng, control, observers=(rec,))
+    counts.append(len(rec.events))
+    if rec.events:
+      t, grid_after = rec.events[0]
+      first_times.append(t)
+      new_si = grid_after.atom_positions[grid_after.atomic_numbers == 14][0]
+      first_sites.append(
+          int(np.argmin(np.linalg.norm(world - new_si, axis=-1)))
+      )
+  return np.asarray(counts), np.asarray(first_times), np.asarray(first_sites)
+
+
+def _our_kmc_trials(n_trials, beam_delta, dwell, seed=0):
+  lat, offset, theta, si_index, world, _ = _matched_grid()
+  si_pos = world[si_index]
+  b = n_trials
+  result = kmc_lib.apply_control(
+      jax.random.PRNGKey(seed),
+      lat,
+      jnp.tile(jnp.asarray(offset, jnp.float32), (b, 1)),
+      jnp.full((b,), theta, jnp.float32),
+      jnp.full((b,), si_index, jnp.int32),
+      jnp.tile(jnp.asarray(si_pos + beam_delta, jnp.float32), (b, 1)),
+      jnp.full((b,), dwell, jnp.float32),
+      rates_lib.simple_canonical_rates,
+      record_events=4,
+      max_events=64,
+  )
+  counts = np.asarray(result.num_transitions)
+  ev_t = np.asarray(result.event_times)  # (4, B)
+  ev_s = np.asarray(result.event_sites)
+  has_event = counts > 0
+  first_times = ev_t[0][has_event]
+  first_sites = ev_s[0][has_event]
+  assert not np.asarray(result.truncated).any()
+  return counts, first_times, first_sites
+
+
+def test_kmc_statistics_match_reference():
+  from scipy import stats as scipy_stats
+
+  n = 1500
+  beam_delta = np.asarray([1.0, 0.3])
+  dwell = 1.5
+  ref_counts, ref_t, ref_sites = _reference_kmc_trials(n, beam_delta, dwell)
+  our_counts, our_t, our_sites = _our_kmc_trials(n, beam_delta, dwell)
+
+  # Transition probability (binomial agreement, ~4 sigma slack).
+  p_ref = (ref_counts > 0).mean()
+  p_our = (our_counts > 0).mean()
+  sigma = np.sqrt(2 * p_ref * (1 - p_ref) / n) + 1e-9
+  assert abs(p_ref - p_our) < 4 * sigma + 0.01, (p_ref, p_our)
+
+  # Mean event count.
+  assert abs(ref_counts.mean() - our_counts.mean()) < 0.15, (
+      ref_counts.mean(), our_counts.mean())
+
+  # Waiting-time law (first event, conditioned on firing).
+  ks = scipy_stats.ks_2samp(ref_t, our_t)
+  assert ks.pvalue > 1e-3, ks
+
+  # Successor-site frequencies over the 3 neighbors.
+  sites = sorted(set(ref_sites.tolist()) | set(our_sites.tolist()))
+  assert len(sites) <= 3
+  f_ref = np.asarray([(ref_sites == s).mean() for s in sites])
+  f_our = np.asarray([(our_sites == s).mean() for s in sites])
+  np.testing.assert_allclose(f_our, f_ref, atol=0.06)
+
+
+def test_kmc_statistics_match_reference_prior_rates():
+  from scipy import stats as scipy_stats
+
+  g = _ref('graphene')
+  n = 1200
+  beam_delta = np.asarray([1.2, 0.0])
+  dwell = 3.0
+
+  # Reference with the human-prior predictor.
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  _, offset, theta, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+  mat = g.PristineSingleDopedGraphene(
+      rate_function=g.PristineSingleSiGrRatePredictor(
+          canonical_rate_prediction_fn=g.HumanPriorRatePredictor().predict
+      ),
+      grid_columns=20,
+  )
+  mat._has_been_reset = True
+  rng = np.random.default_rng(11)
+  control = mu.BeamControlMaterialFrame(
+      mu.BeamControl(
+          geo.Point(si_pos + beam_delta), dt.timedelta(seconds=dwell)
+      )
+  )
+  ref_counts, ref_t = [], []
+  for _ in range(n):
+    mat.grid = ref_grid
+    rec = _TransitionRecorder()
+    mat.apply_control(rng, control, observers=(rec,))
+    ref_counts.append(len(rec.events))
+    if rec.events:
+      ref_t.append(rec.events[0][0])
+  ref_counts = np.asarray(ref_counts)
+  ref_t = np.asarray(ref_t)
+
+  lat = lattice_lib.make_lattice(20)
+  result = kmc_lib.apply_control(
+      jax.random.PRNGKey(5),
+      lat,
+      jnp.tile(jnp.asarray(offset, jnp.float32), (n, 1)),
+      jnp.full((n,), theta, jnp.float32),
+      jnp.full((n,), si_index, jnp.int32),
+      jnp.tile(jnp.asarray(si_pos + beam_delta, jnp.float32), (n, 1)),
+      jnp.full((n,), dwell, jnp.float32),
+      rates_lib.prior_rates,
+      record_events=2,
+      max_events=64,
+  )
+  our_counts = np.asarray(result.num_transitions)
+  our_t = np.asarray(result.event_times)[0][our_counts > 0]
+
+  p_ref = (ref_counts > 0).mean()
+  p_our = (our_counts > 0).mean()
+  sigma = np.sqrt(2 * p_ref * (1 - p_ref) / n) + 1e-9
+  assert abs(p_ref - p_our) < 4 * sigma + 0.01, (p_ref, p_our)
+  ks = scipy_stats.ks_2samp(ref_t, our_t)
+  assert ks.pvalue > 1e-3, ks
+
+
+# --- frame conversions -------------------------------------------------------
+
+
+def test_fov_frame_conversions_match_reference():
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  ll = np.asarray([-7.3, 2.1])
+  ur = np.asarray([4.9, 11.8])
+  ref_fov = mu.MicroscopeFieldOfView(
+      geo.PointMaterialFrame(geo.Point(ll)),
+      geo.PointMaterialFrame(geo.Point(ur)),
+  )
+  our_fov = md.MicroscopeFieldOfView(lower_left=ll, upper_right=ur)
+
+  rng = np.random.default_rng(0)
+  for p in rng.uniform(-0.5, 1.5, size=(32, 2)):
+    theirs = ref_fov.microscope_frame_to_material_frame(
+        geo.PointMicroscopeFrame(geo.Point(p))
+    )
+    ours = our_fov.microscope_frame_to_material_frame(p)
+    np.testing.assert_allclose(ours, [theirs.x, theirs.y], rtol=1e-9)
+  for p in rng.uniform(-10, 14, size=(32, 2)):
+    theirs = ref_fov.material_frame_to_microscope_frame(
+        geo.PointMaterialFrame(geo.Point(p))
+    )
+    ours = our_fov.material_frame_to_microscope_frame(p)
+    np.testing.assert_allclose(ours, [theirs.x, theirs.y], rtol=1e-9)
+
+
+# --- record interop ----------------------------------------------------------
+
+
+def _reference_trajectory(num_obs=3, image_size=16, seed=0):
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  rng = np.random.default_rng(seed)
+  observations = []
+  for t in range(num_obs):
+    nums = np.full(5, 6)
+    nums[2] = 14
+    observations.append(
+        mu.MicroscopeObservation(
+            grid=mu.AtomicGridMicroscopeFrame(
+                mu.AtomicGrid(rng.uniform(0, 1, (5, 2)), nums)
+            ),
+            fov=mu.MicroscopeFieldOfView(
+                geo.PointMaterialFrame(geo.Point(-5.0 + t, -5.0)),
+                geo.PointMaterialFrame(geo.Point(5.0 + t, 5.0)),
+            ),
+            controls=(
+                mu.BeamControlMicroscopeFrame(
+                    mu.BeamControl(
+                        geo.Point(rng.uniform(0, 1, 2)),
+                        dt.timedelta(seconds=1.5),
+                    )
+                ),
+            ),
+            elapsed_time=dt.timedelta(seconds=3.5 * t),
+            image=rng.standard_normal((image_size, image_size)).astype(
+                np.float32
+            ),
+        )
+    )
+  return mu.Trajectory(observations)
+
+
+def test_reference_written_tfrecords_with_images_read_natively(tmp_path):
+  ref_io = _ref('io')
+  mu = _ref('microscope_utils')
+  path = tmp_path / 'ref.tfrecords'
+  traj = _reference_trajectory()
+  ref_io.write_records(path, [traj])
+
+  [ours] = records_lib.read_records(str(path), md.Trajectory)
+  assert len(ours.observations) == 3
+  for ref_obs, our_obs in zip(traj.observations, ours.observations):
+    np.testing.assert_allclose(our_obs.image, ref_obs.image)
+    np.testing.assert_allclose(
+        our_obs.grid.atom_positions, ref_obs.grid.atom_positions
+    )
+    np.testing.assert_array_equal(
+        our_obs.grid.atomic_numbers, ref_obs.grid.atomic_numbers
+    )
+    np.testing.assert_allclose(
+        our_obs.fov.lower_left,
+        [ref_obs.fov.lower_left.x, ref_obs.fov.lower_left.y],
+    )
+    assert our_obs.controls[0].dwell_time == ref_obs.controls[0].dwell_time
+  del mu
+
+
+def test_natively_written_tensorproto_records_read_by_reference(tmp_path):
+  ref_io = _ref('io')
+  mu = _ref('microscope_utils')
+  rng = np.random.default_rng(1)
+  image = rng.standard_normal((16, 16)).astype(np.float32)
+  nums = np.full(4, 6)
+  nums[0] = 14
+  ours = md.Trajectory(
+      observations=[
+          md.MicroscopeObservation(
+              grid=md.AtomicGrid(rng.uniform(0, 1, (4, 2)), nums),
+              fov=md.MicroscopeFieldOfView(
+                  lower_left=np.asarray([-5.0, -5.0]),
+                  upper_right=np.asarray([5.0, 5.0]),
+              ),
+              controls=(
+                  md.BeamControl(
+                      np.asarray([0.25, 0.75]), dt.timedelta(seconds=2.0)
+                  ),
+              ),
+              elapsed_time=dt.timedelta(seconds=3.5),
+              image=image,
+          )
+      ]
+  )
+  path = tmp_path / 'ours.tfrecords'
+  with md.image_wire_format('tensorproto'):
+    records_lib.write_records(str(path), [ours])
+
+  [theirs] = list(ref_io.read_records(path, mu.Trajectory))
+  ref_obs = theirs.observations[0]
+  np.testing.assert_allclose(ref_obs.image, image)
+  np.testing.assert_allclose(
+      ref_obs.grid.atom_positions, ours.observations[0].grid.atom_positions
+  )
+  assert ref_obs.controls[0].dwell_time == dt.timedelta(seconds=2.0)
+
+
+# --- eval head-to-head -------------------------------------------------------
+
+
+def _reference_eval(kind, seeds):
+  g = _ref('graphene')
+  registry = _ref('experiments.registry')
+  eval_lib_ref = _ref('eval_lib')
+  run_helpers_ref = _ref('run_helpers')
+  experiments_ref = _ref('experiments.experiments')
+  reg_mod = registry
+
+  rng = np.random.default_rng(0)
+  if kind == 'relative_random':
+    experiment = reg_mod.create_eval_experiment('relative_random_simple')
+    adapters_and_goal = experiment.get_adapters_and_goal()
+    agent = experiment.get_agent(rng, adapters_and_goal)
+    get_adapters = experiment.get_adapters_and_goal
+    get_config = experiment.get_simulator_config
+  elif kind == 'greedy':
+    # Mirror OUR greedy_simple_rates experiment: greedy argmax (1.42, 0)
+    # on the material-frame adapter with fixed 5 s dwell + simple rates.
+    action_adapters_ref = _ref('action_adapters')
+    feature_constructors_ref = _ref('feature_constructors')
+    goals_ref = _ref('goals')
+
+    def get_adapters():
+      return experiments_ref.AdaptersAndGoal(
+          action_adapter=(
+              action_adapters_ref.RelativeToSiliconMaterialFrameActionAdapter(
+                  dwell_time_range=(
+                      dt.timedelta(seconds=5.0),
+                      dt.timedelta(seconds=5.0),
+                  ),
+                  max_distance_angstroms=2 * 1.42,
+              )
+          ),
+          feature_constructor=(
+              feature_constructors_ref.SingleSiliconMaterialFrameFeatureConstructor()
+          ),
+          goal=goals_ref.SingleSiliconGoalReaching(),
+      )
+
+    def get_config():
+      return experiments_ref.SimulatorConfig(
+          material=g.PristineSingleDopedGraphene(),
+          image_duration=dt.timedelta(seconds=2.0),
+      )
+
+    adapters_and_goal = get_adapters()
+    agent = reg_mod._get_greedy_agent(
+        rng, adapters_and_goal, argmax=np.asarray([1.42, 0.0])
+    )
+  else:
+    raise ValueError(kind)
+
+  env = run_helpers_ref.create_putting_dune_env(
+      seed=0,
+      get_adapters_and_goal=get_adapters,
+      get_simulator_config=get_config,
+  )
+  results = eval_lib_ref.evaluate(
+      agent, env, eval_lib_ref.EvalSuite(tuple(seeds))
+  )
+  reached = np.asarray([r.reached_goal for r in results], float)
+  actions = np.asarray([r.num_actions_taken for r in results], float)
+  return reached, actions
+
+
+def _our_eval(name, seeds):
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import run_helpers
+  from putting_dune_tpu.experiments import registry
+
+  experiment = registry.create_eval_experiment(name)
+  rng = np.random.default_rng(0)
+  agent = experiment.get_agent(rng, experiment.get_adapters_and_goal())
+  env = run_helpers.create_putting_dune_env(
+      0,
+      experiment.get_adapters_and_goal,
+      experiment.get_simulator_config,
+  )
+  results = eval_lib.evaluate(agent, env, list(seeds))
+  reached = np.asarray([r.reached_goal for r in results], float)
+  actions = np.asarray([r.num_actions_taken for r in results], float)
+  return reached, actions
+
+
+def test_eval_headtohead_greedy_simple_rates():
+  seeds = range(10)
+  ref_reached, ref_actions = _reference_eval('greedy', seeds)
+  our_reached, our_actions = _our_eval('greedy_simple_rates', seeds)
+
+  # The greedy controller reliably reaches the goal under both stacks.
+  assert ref_reached.mean() >= 0.9, ref_reached
+  assert our_reached.mean() >= 0.9, our_reached
+  # Actions-to-goal agree to within ~30% (independent RNG streams over
+  # 10 episodes; the report script records the exact values).
+  assert abs(ref_actions.mean() - our_actions.mean()) < max(
+      3.0, 0.3 * ref_actions.mean()
+  ), (ref_actions.mean(), our_actions.mean())
+
+
+def test_eval_headtohead_relative_random_simple():
+  seeds = range(20)
+  ref_reached, _ = _reference_eval('relative_random', seeds)
+  our_reached, _ = _our_eval('relative_random_simple', seeds)
+  p_ref = ref_reached.mean()
+  p_our = our_reached.mean()
+  n = len(ref_reached)
+  sigma = np.sqrt(
+      (p_ref * (1 - p_ref) + p_our * (1 - p_our)) / n
+  )
+  assert abs(p_ref - p_our) <= 4 * sigma + 0.05, (p_ref, p_our)
