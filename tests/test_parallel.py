@@ -186,6 +186,89 @@ def test_evaluate_batched_sharded_matches_unsharded(mesh):
     )
 
 
+def test_evaluate_batched_image_env_sharded_matches_unsharded(mesh):
+  """IMAGE-observation env under the mesh: the heaviest per-step kernels
+  (MXU splat + noise chain + CLAHE) run under GSPMD with the batch
+  sharded over 'data'; per-seed results must equal the single-device
+  program."""
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu import simulator as simulator_lib
+  from putting_dune_tpu.env import env as env_lib
+  from putting_dune_tpu.env import features as features_lib
+
+  batch = len(jax.devices())
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(20),
+      features=features_lib.ImageFeatures(image_size=32),
+      config=env_lib.EnvConfig(
+          sim=simulator_lib.SimulatorConfig(
+              grid_columns=20, image_size=64
+          ),
+          step_limit=3,
+      ),
+      batch_size=batch,
+  )
+
+  def policy(key, obs):
+    del key
+    return jnp.clip(obs['goal_delta_angstroms'], -1.0, 1.0)
+
+  seeds = list(range(batch))
+  sharded = eval_lib.evaluate_batched(env, policy, seeds, mesh=mesh)
+  unsharded = eval_lib.evaluate_batched(env, policy, seeds)
+  assert len(sharded) == len(unsharded) == batch
+  for s, u in zip(sharded, unsharded):
+    assert s.seed == u.seed
+    assert s.reached_goal == u.reached_goal
+    assert s.num_actions_taken == u.num_actions_taken
+    np.testing.assert_allclose(
+        s.total_reward, u.total_reward, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_evaluate_batched_stateful_drift_policy_sharded_matches_unsharded(
+    mesh,
+):
+  """A STATEFUL drift-corrected policy (per-env tracker pstate threaded
+  through the episode loop) over a drifting image env, sharded vs not."""
+  from putting_dune_tpu import eval_lib
+  from putting_dune_tpu import lattice as lattice_lib
+  from putting_dune_tpu import simulator as simulator_lib
+  from putting_dune_tpu.agents import drift_correction as dc
+  from putting_dune_tpu.env import env as env_lib
+  from putting_dune_tpu.env import features as features_lib
+
+  batch = len(jax.devices())
+  env = env_lib.PuttingDuneEnv(
+      lattice=lattice_lib.make_lattice(20),
+      features=features_lib.ImageFeatures(image_size=32, include_fov=True),
+      config=env_lib.EnvConfig(
+          sim=simulator_lib.SimulatorConfig(
+              grid_columns=20, image_size=64,
+              drift_per_frame_angstroms=0.5,
+          ),
+          step_limit=3,
+      ),
+      batch_size=batch,
+  )
+
+  def base(key, obs):
+    del key
+    return jnp.zeros((obs['image'].shape[0], 2), jnp.float32)
+
+  policy = dc.DriftCorrectedPolicy(base)
+  seeds = list(range(batch))
+  sharded = eval_lib.evaluate_batched(env, policy, seeds, mesh=mesh)
+  unsharded = eval_lib.evaluate_batched(env, policy, seeds)
+  for s, u in zip(sharded, unsharded):
+    assert s.seed == u.seed
+    assert s.num_actions_taken == u.num_actions_taken
+    np.testing.assert_allclose(
+        s.total_reward, u.total_reward, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_train_and_save_mesh_smoke(mesh, tmp_path):
   """train_ppo's --mesh path: a tiny data-parallel train_and_save run
   produces a loadable checkpoint (sharded-vs-single equivalence of the
