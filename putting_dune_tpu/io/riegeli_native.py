@@ -232,10 +232,24 @@ def _read_varint(data: bytes, pos: int) -> Tuple[int, int]:
 
 @functools.lru_cache(maxsize=None)
 def _load(names: tuple):
-  """dlopens (once per process) the first loadable of `names`."""
+  """dlopens (once per process) the first loadable of `names`.
+
+  RTLD_DEEPBIND + RTLD_LOCAL: other extension modules in the process
+  (e.g. the array_record wheel) statically embed their own brotli/zstd
+  builds and export the symbols; without deep binding, the system
+  library's internal cross-references can bind to those embedded copies,
+  which corrupts state and segfaults (observed with
+  tensorflow+array_record loaded before libbrotlienc).
+  """
+  import os as _os
+
+  mode = ctypes.DEFAULT_MODE
+  deepbind = getattr(_os, 'RTLD_DEEPBIND', 0)
+  if deepbind:
+    mode = _os.RTLD_LOCAL | deepbind
   for name in names:
     try:
-      return ctypes.CDLL(name)
+      return ctypes.CDLL(name, mode=mode)
     except OSError:
       continue
   return None
@@ -1001,3 +1015,39 @@ def _emit_chunk(f, pos: int, chunk: bytes) -> int:
     offset += take
     pos += take
   return end
+
+
+# --- ArrayRecord files -------------------------------------------------------
+
+
+def read_array_record(path: str, verify: bool = True) -> List[bytes]:
+  """Reads the USER records of a .array_record file (tfds.data_source's
+  storage format, google/array_record).
+
+  An ArrayRecord file is a riegeli stream whose trailing chunks are
+  bookkeeping: a footer chunk (one RiegeliFooterMetadata record carrying
+  the total user-record count, then one ArrayRecordFooter per user chunk)
+  and postscript copies. The flat riegeli record walk therefore returns
+  user records FIRST, then the footer records; this helper locates the
+  footer metadata (scanning from the end, validated by version==1 and a
+  consistent count — wire layout per array_record cpp/layout.proto) and
+  returns exactly the user records. A plain riegeli/records file without
+  an ArrayRecord footer is returned unchanged.
+  """
+  from putting_dune_tpu.proto import putting_dune_tpu_pb2 as _pb
+
+  records = read_riegeli_records(path, verify=verify)
+  for i in range(len(records) - 1, -1, -1):
+    msg = _pb.RiegeliFooterMetadataCompat()
+    try:
+      msg.ParseFromString(records[i])
+    except Exception:  # not a footer record
+      continue
+    if not msg.HasField('array_record'):
+      continue
+    ar = msg.array_record
+    if ar.version != 1 or not ar.HasField('num_records'):
+      continue
+    if ar.num_records <= i:
+      return records[: ar.num_records]
+  return records
