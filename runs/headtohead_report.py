@@ -1,0 +1,266 @@
+"""Generates PARITY_HEADTOHEAD.md: measured parity vs the ACTUAL reference.
+
+Runs the same comparisons as tests/test_reference_headtohead.py (rate
+math, KMC statistics, eval aggregates, record interop) with the reference
+code imported and executed via tests/refcompat, and writes the observed
+numbers to PARITY_HEADTOHEAD.md at the repo root.
+
+Usage:  PYTHONPATH= JAX_PLATFORMS=cpu python runs/headtohead_report.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests import test_reference_headtohead as h2h  # noqa: E402
+
+assert h2h._REF is not None, f'reference unavailable: {h2h._REF_ERROR}'
+
+import jax.numpy as jnp  # noqa: E402
+from scipy import stats as scipy_stats  # noqa: E402
+
+from putting_dune_tpu import rates as rates_lib  # noqa: E402
+
+
+def rate_math_rows():
+  g = h2h._ref('graphene')
+  geo = h2h._ref('geometry')
+  rows = []
+  _, _, _, si_index, world, ref_grid = h2h._matched_grid()
+  si_pos = world[si_index]
+  nbr_idx = geo.nearest_neighbors3(world, si_pos).neighbor_indices.reshape(-1)
+  nbr_pos = world[nbr_idx]
+  rng = np.random.default_rng(0)
+  beams = si_pos + rng.uniform(-3, 3, size=(256, 2))
+
+  theirs = np.stack([
+      g.simple_canonical_rate_function(
+          ref_grid, geo.Point(b), si_pos, nbr_idx
+      ).reshape(-1)
+      for b in beams
+  ])
+  ours = np.asarray(
+      rates_lib.simple_canonical_rates(
+          jnp.asarray(np.tile(si_pos, (256, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (256, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  rel = np.abs(ours - theirs) / (np.abs(theirs) + 1e-12)
+  rows.append(('simple_canonical_rate_function', 256 * 3, float(rel.max())))
+
+  predictor = g.HumanPriorRatePredictor()
+  theirs = np.stack([
+      np.asarray(
+          predictor.predict(ref_grid, geo.Point(b), si_pos, nbr_idx)
+      ).reshape(-1)
+      for b in beams
+  ])
+  ours = np.asarray(
+      rates_lib.prior_rates(
+          jnp.asarray(np.tile(si_pos, (256, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (256, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  rel = np.abs(ours - theirs) / (np.abs(theirs) + 1e-12)
+  rows.append(('HumanPriorRatePredictor.predict', 256 * 3, float(rel.max())))
+
+  ref_gmm = g.GaussianMixtureRateFunction.sample_new(np.random.default_rng(7))
+  ours_gmm = rates_lib.GaussianMixtureRateFunction(
+      max_rate=float(ref_gmm.max_rate),
+      mixture_weights=np.asarray(ref_gmm.mixture_weights),
+      loc_distances=np.asarray(ref_gmm.loc_distances),
+      variances=np.asarray(ref_gmm.variances),
+  )
+  beams = si_pos + rng.uniform(-2, 2, size=(64, 2))
+  ours = np.asarray(
+      ours_gmm(
+          jnp.asarray(np.tile(si_pos, (64, 1)), jnp.float32),
+          jnp.asarray(np.tile(nbr_pos, (64, 1, 1)), jnp.float32),
+          jnp.asarray(beams, jnp.float32),
+      )
+  )
+  max_rel = 0.0
+  for k, b in enumerate(beams):
+    result = ref_gmm(ref_grid, geo.PointMaterialFrame(geo.Point(b)))
+    theirs = np.zeros(3)
+    for ss in result.successor_states:
+      new_si = ss.grid.atom_positions[ss.grid.atomic_numbers == 14][0]
+      j = int(np.argmin(np.linalg.norm(nbr_pos - new_si, axis=-1)))
+      theirs[j] = ss.rate
+    rel = np.abs(ours[k] - theirs) / (np.abs(theirs) + 1e-12)
+    max_rel = max(max_rel, float(rel.max()))
+  rows.append(('GaussianMixtureRateFunction', 64 * 3, max_rel))
+  return rows
+
+
+def kmc_rows():
+  rows = []
+  for label, beam, dwell, n in (
+      ('simple rates, beam si+(1.0,0.3), dwell 1.5 s', (1.0, 0.3), 1.5, 3000),
+      ('simple rates, beam si+(0.4,-0.9), dwell 3.0 s', (0.4, -0.9), 3.0, 3000),
+  ):
+    ref_counts, ref_t, ref_sites = h2h._reference_kmc_trials(
+        n, np.asarray(beam), dwell
+    )
+    our_counts, our_t, our_sites = h2h._our_kmc_trials(
+        n, np.asarray(beam), dwell
+    )
+    ks = scipy_stats.ks_2samp(ref_t, our_t)
+    sites = sorted(set(ref_sites.tolist()) | set(our_sites.tolist()))
+    f_ref = np.asarray([(ref_sites == s).mean() for s in sites])
+    f_our = np.asarray([(our_sites == s).mean() for s in sites])
+    rows.append(dict(
+        label=label, n=n,
+        p_ref=float((ref_counts > 0).mean()),
+        p_our=float((our_counts > 0).mean()),
+        mean_ref=float(ref_counts.mean()),
+        mean_our=float(our_counts.mean()),
+        ks_stat=float(ks.statistic), ks_p=float(ks.pvalue),
+        succ_maxdiff=float(np.abs(f_ref - f_our).max()),
+    ))
+  return rows
+
+
+def eval_rows():
+  rows = []
+  for kind, name, seeds in (
+      ('greedy', 'greedy_simple_rates', range(10)),
+      ('relative_random', 'relative_random_simple', range(20)),
+  ):
+    ref_reached, ref_actions = h2h._reference_eval(kind, seeds)
+    our_reached, our_actions = h2h._our_eval(name, seeds)
+    rows.append(dict(
+        name=name, n=len(ref_reached),
+        ref_success=float(ref_reached.mean()),
+        our_success=float(our_reached.mean()),
+        ref_actions=float(ref_actions.mean()),
+        our_actions=float(our_actions.mean()),
+    ))
+  return rows
+
+
+def interop_summary():
+  import pathlib
+
+  from putting_dune_tpu import microscope_data as md
+  from putting_dune_tpu.io import records as records_lib
+
+  ref_io = h2h._ref('io')
+  mu = h2h._ref('microscope_utils')
+  out = []
+  with tempfile.TemporaryDirectory() as d:
+    path = pathlib.Path(d) / 'ref.tfrecords'
+    traj = h2h._reference_trajectory(num_obs=4, image_size=32)
+    ref_io.write_records(path, [traj])
+    [ours] = records_lib.read_records(str(path), md.Trajectory)
+    err = max(
+        float(np.abs(o.image - r.image).max())
+        for o, r in zip(ours.observations, traj.observations)
+    )
+    out.append(('reference io.write_records -> native reader', 4, err))
+
+    path2 = pathlib.Path(d) / 'ours.tfrecords'
+    with md.image_wire_format('tensorproto'):
+      records_lib.write_records(str(path2), [ours])
+    [theirs] = list(ref_io.read_records(path2, mu.Trajectory))
+    err2 = max(
+        float(np.abs(t.image - r.image).max())
+        for t, r in zip(theirs.observations, traj.observations)
+    )
+    out.append(('native tensorproto writer -> reference io.read_records', 4,
+                err2))
+  return out
+
+
+def main():
+  shimmed = getattr(h2h._REF, 'shimmed', None)
+  lines = []
+  w = lines.append
+  w('# PARITY_HEADTOHEAD — measured against the ACTUAL reference code')
+  w('')
+  w(f'Generated by runs/headtohead_report.py on {dt.date.today()}. The')
+  w('reference (/root/reference/putting_dune) is imported and EXECUTED via')
+  w('tests/refcompat (shims for shapely/frozendict/msgpack_numpy/skimage;')
+  w('its proto compiled with protoc against the real TensorFlow runtime')
+  w('descriptors). Every number below compares this framework against the')
+  w("reference's own code running in-process — not against re-implemented")
+  w('oracles. The same comparisons run in CI as')
+  w('tests/test_reference_headtohead.py.')
+  w('')
+  w('Caveat: the CLAHE stage of reference imaging runs through this')
+  w("repo's own implementation of skimage's algorithm (shim), so imaging")
+  w('comparisons beyond that stage are not independent; nothing below')
+  w('depends on imaging.')
+  w('')
+  w('## 1. Rate-function math (deterministic, element-wise)')
+  w('')
+  w('| Rate function | samples | max relative error |')
+  w('|---|---|---|')
+  for name, n, err in rate_math_rows():
+    w(f'| {name} | {n} | {err:.2e} |')
+  w('')
+  w('float32 (ours) vs float64/float32 (reference) on identical grids,')
+  w('beams and neighbor order.')
+  w('')
+  w('## 2. KMC transition statistics (distributional)')
+  w('')
+  w('Identical grid state; reference runs its Python/NumPy KMC loop, the')
+  w('rebuild its batched lax.while_loop. Independent RNG streams —')
+  w('distributions must match, not bitstreams.')
+  w('')
+  w('| Configuration | n | P(fire) ref/ours | mean events ref/ours |'
+    ' KS stat | KS p | max successor-freq diff |')
+  w('|---|---|---|---|---|---|---|')
+  for r in kmc_rows():
+    w(
+        f"| {r['label']} | {r['n']} | {r['p_ref']:.3f} / {r['p_our']:.3f} "
+        f"| {r['mean_ref']:.3f} / {r['mean_our']:.3f} | {r['ks_stat']:.4f} "
+        f"| {r['ks_p']:.3f} | {r['succ_maxdiff']:.3f} |"
+    )
+  w('')
+  w('## 3. Eval aggregates (same experiments, same suites)')
+  w('')
+  w('| Experiment | episodes | success ref/ours | actions-to-goal'
+    ' ref/ours |')
+  w('|---|---|---|---|')
+  for r in eval_rows():
+    w(
+        f"| {r['name']} | {r['n']} | {r['ref_success']:.2f} / "
+        f"{r['our_success']:.2f} | {r['ref_actions']:.1f} / "
+        f"{r['our_actions']:.1f} |"
+    )
+  w('')
+  w('Reference: eval_lib.evaluate host loop (its own env, material, KMC,')
+  w('agents). Ours: eval_lib.evaluate host loop over the batched core.')
+  w('')
+  w('## 4. Golden record interop (tfrecords, images as TensorProto)')
+  w('')
+  w('| Direction | observations | max abs image error |')
+  w('|---|---|---|')
+  for name, n, err in interop_summary():
+    w(f'| {name} | {n} | {err:.1e} |')
+  w('')
+  w('Grids, FOVs, controls and elapsed times compared exactly in the')
+  w('corresponding tests; images traverse tf.make_tensor_proto (reference)')
+  w('and the TF-free codec (ours) in both directions.')
+  w('')
+  del shimmed
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  out_path = os.path.join(root, 'PARITY_HEADTOHEAD.md')
+  with open(out_path, 'w') as f:
+    f.write('\n'.join(lines))
+  print(f'wrote {out_path}')
+  print('\n'.join(lines))
+
+
+if __name__ == '__main__':
+  main()
