@@ -118,6 +118,25 @@ def unpack(archive_path: str, target_dir: str, verify: bool = True) -> str:
   return out_dir
 
 
+def _gcs_authenticated_download(bucket: str, blob_path: str,
+                                target: str) -> bool:
+  """Downloads gs://bucket/blob_path via the authenticated client.
+
+  Returns False when the optional google-cloud-storage extra is not
+  installed (the anonymous-HTTP error then propagates); raises on real
+  authenticated-download failures. Matches how the reference fetches its
+  private SavedModel bundles (registry.py:94-108, which shells out to
+  GCS). Unit-tested against a fake client (tests/test_aux_subsystems).
+  """
+  try:
+    from google.cloud import storage  # optional dependency
+  except ImportError:
+    return False
+  client = storage.Client()
+  client.bucket(bucket).blob(blob_path).download_to_filename(target)
+  return True
+
+
 def resolve_artifact(
     uri: str, cache_dir: str = '', refresh: bool = False
 ) -> str:
@@ -180,14 +199,32 @@ def resolve_artifact(
       try:
         urllib.request.urlretrieve(url, tmp)
       except Exception as e:
-        if os.path.exists(tmp):
-          os.remove(tmp)
-        raise RuntimeError(
-            f'Could not download {uri!r} ({e}). In a zero-egress '
-            'environment, transfer the bundle by hand and pass its local '
-            'path (integrity is checked by the embedded sha256 manifest, '
-            'not the channel).'
-        ) from e
+        # Private gs:// buckets 403/404 through the anonymous endpoint
+        # (the reference distributes SavedModels from private buckets,
+        # registry.py:94-108): fall back to the authenticated client if
+        # the optional google-cloud-storage extra is installed.
+        auth_ok, auth_err = False, None
+        if scheme == 'gs':
+          try:
+            auth_ok = _gcs_authenticated_download(
+                parsed.netloc, parsed.path.lstrip('/'), tmp
+            )
+          except Exception as ae:  # auth/permission/transport failures
+            auth_err = ae
+        if not auth_ok:
+          if os.path.exists(tmp):
+            os.remove(tmp)
+          detail = f'anonymous: {e}'
+          if auth_err is not None:
+            detail += f'; authenticated client: {auth_err}'
+          raise RuntimeError(
+              f'Could not download {uri!r} ({detail}). For private '
+              'buckets, pip install google-cloud-storage and '
+              'authenticate (GOOGLE_APPLICATION_CREDENTIALS). In a '
+              'zero-egress environment, transfer the bundle by hand and '
+              'pass its local path (integrity is checked by the embedded '
+              'sha256 manifest, not the channel).'
+          ) from e
       os.replace(tmp, archive)
   else:
     raise ValueError(

@@ -260,6 +260,81 @@ def test_resolve_artifact_uris(tmp_path):
     )
 
 
+def test_resolve_artifact_gcs_authenticated_fallback(tmp_path):
+  """gs:// URIs that fail the anonymous endpoint fall back to the
+  authenticated google-cloud-storage client when installed (reference
+  registry.py:94-108 pulls from private buckets). Simulated with a fake
+  google.cloud.storage module."""
+  import sys
+  import types
+
+  from putting_dune_tpu.io import artifacts
+
+  src = tmp_path / 'model'
+  src.mkdir()
+  (src / 'params.msgpack').write_bytes(b'weights')
+  archive = str(tmp_path / 'model.zip')
+  artifacts.pack(str(src), archive)
+  with open(archive, 'rb') as f:
+    payload = f.read()
+
+  calls = []
+
+  class FakeBlob:
+    def __init__(self, bucket, path):
+      self.bucket, self.path = bucket, path
+
+    def download_to_filename(self, target):
+      calls.append((self.bucket, self.path))
+      with open(target, 'wb') as f:
+        f.write(payload)
+
+  class FakeBucket:
+    def __init__(self, name):
+      self.name = name
+
+    def blob(self, path):
+      return FakeBlob(self.name, path)
+
+  class FakeClient:
+    def bucket(self, name):
+      return FakeBucket(name)
+
+  storage_mod = types.ModuleType('google.cloud.storage')
+  storage_mod.Client = FakeClient
+  cloud_mod = types.ModuleType('google.cloud')
+  cloud_mod.storage = storage_mod
+  saved = {
+      k: sys.modules.get(k) for k in ('google.cloud', 'google.cloud.storage')
+  }
+  sys.modules['google.cloud'] = cloud_mod
+  sys.modules['google.cloud.storage'] = storage_mod
+
+  # The anonymous endpoint must FAIL (as a private bucket does) without
+  # touching the network.
+  import urllib.request
+
+  def refuse(url, target):
+    raise OSError('403 anonymous access denied (fake)')
+
+  saved_retrieve = urllib.request.urlretrieve
+  urllib.request.urlretrieve = refuse
+  try:
+    out = artifacts.resolve_artifact(
+        'gs://private-bucket/models/model.zip',
+        cache_dir=str(tmp_path / 'cache'),
+    )
+    assert calls == [('private-bucket', 'models/model.zip')]
+    assert os.path.exists(os.path.join(out, 'params.msgpack'))
+  finally:
+    urllib.request.urlretrieve = saved_retrieve
+    for k, v in saved.items():
+      if v is None:
+        sys.modules.pop(k, None)
+      else:
+        sys.modules[k] = v
+
+
 def test_resolve_artifact_repack_invalidates_cache(tmp_path):
   """Re-packing a bundle at the same path must re-extract — the cache is
   keyed by archive identity (size+mtime), not path alone, so stale
