@@ -8,7 +8,9 @@ oracles; this module imports and RUNS /root/reference/putting_dune itself
   * static neighbor topology vs sklearn nearest_neighbors3,
   * KMC transition statistics (waiting times, event counts, successor
     frequencies) distributionally on an identical grid state,
-  * FOV frame conversions numerically,
+  * FOV frame conversions, action adapters (relative + material
+    frame), vector feature constructors and goal reward/termination
+    numerically,
   * eval aggregates (success rate, actions-to-goal) for greedy and
     relative-random experiments over the same eval suites,
   * golden record interop (tfrecords with TensorProto images) in both
@@ -639,3 +641,206 @@ def test_eval_headtohead_relative_random_simple():
       (p_ref * (1 - p_ref) + p_our * (1 - p_our)) / n
   )
   assert abs(p_ref - p_our) <= 4 * sigma + 0.05, (p_ref, p_our)
+
+
+# --- adapters / features / goals --------------------------------------------
+
+
+def _ref_vector_observation(si_mic, fov_ll, fov_ur, extra_atoms=None):
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  positions = [np.asarray(si_mic)]
+  numbers = [14]
+  for p in extra_atoms or []:
+    positions.append(np.asarray(p))
+    numbers.append(6)
+  grid = mu.AtomicGridMicroscopeFrame(
+      mu.AtomicGrid(np.stack(positions), np.asarray(numbers))
+  )
+  fov = mu.MicroscopeFieldOfView(
+      geo.PointMaterialFrame(geo.Point(fov_ll)),
+      geo.PointMaterialFrame(geo.Point(fov_ur)),
+  )
+  return mu.MicroscopeObservation(
+      grid=grid, fov=fov, controls=(),
+      elapsed_time=dt.timedelta(seconds=3.5),
+  )
+
+
+def test_relative_to_silicon_adapter_matches_reference():
+  from putting_dune_tpu import structures
+  from putting_dune_tpu.env import action_adapters as our_aa
+
+  aa = _ref('action_adapters')
+  si_mic = np.asarray([0.45, 0.6])
+  fov_ll, fov_ur = np.asarray([-8.0, -4.0]), np.asarray([4.0, 8.0])
+  ref_obs = _ref_vector_observation(si_mic, fov_ll, fov_ur)
+
+  ref_adapter = aa.RelativeToSiliconActionAdapter(
+      dwell_time_range=(
+          dt.timedelta(seconds=1.0), dt.timedelta(seconds=9.0)
+      ),
+      max_distance_angstroms=2.84,
+  )
+  ours = our_aa.RelativeToSiliconActionAdapter(
+      min_dwell_seconds=1.0, max_dwell_seconds=9.0,
+      max_distance_angstroms=2.84,
+  )
+  # float64: the reference builds dt.timedelta from action[2], which
+  # rejects numpy float32 (its agents emit float64 anyway).
+  actions = np.asarray([
+      [0.3, -0.7, 0.25],
+      [1.5, -2.0, 1.7],   # out-of-range: clipping on both axes + dwell
+      [-1.0, 1.0, 0.0],
+      [4.0, 4.0, 0.5],    # beam clipped to the [0,1] frame edge
+  ], np.float64)
+
+  ctx = our_aa.AdapterContext(
+      si_position_microscope=jnp.tile(
+          jnp.asarray(si_mic, jnp.float32), (len(actions), 1)
+      ),
+      fov=structures.FieldOfView(
+          lower_left=jnp.tile(jnp.asarray(fov_ll, jnp.float32),
+                              (len(actions), 1)),
+          upper_right=jnp.tile(jnp.asarray(fov_ur, jnp.float32),
+                               (len(actions), 1)),
+      ),
+  )
+  _, control = ours.to_controls(None, ctx, jnp.asarray(actions))
+  for i, action in enumerate(actions):
+    [ref_control] = ref_adapter.get_action(ref_obs, action)
+    np.testing.assert_allclose(
+        np.asarray(control.position[i]),
+        [ref_control.position.x, ref_control.position.y],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        float(control.dwell_seconds[i]),
+        ref_control.dwell_time.total_seconds(),
+        rtol=1e-6,
+    )
+
+
+def test_material_frame_adapter_matches_reference():
+  from putting_dune_tpu import structures
+  from putting_dune_tpu.env import action_adapters as our_aa
+
+  aa = _ref('action_adapters')
+  si_mic = np.asarray([0.3, 0.55])
+  fov_ll, fov_ur = np.asarray([-6.0, -6.0]), np.asarray([6.0, 6.0])
+  ref_obs = _ref_vector_observation(si_mic, fov_ll, fov_ur)
+  ref_adapter = aa.RelativeToSiliconMaterialFrameActionAdapter()
+  ours = our_aa.RelativeToSiliconMaterialFrameActionAdapter()
+
+  actions = np.asarray(
+      [[1.42, 0.0], [-0.58, 0.9], [8.0, -8.0]], np.float32
+  )
+  ctx = our_aa.AdapterContext(
+      si_position_microscope=jnp.tile(
+          jnp.asarray(si_mic, jnp.float32), (len(actions), 1)
+      ),
+      fov=structures.FieldOfView(
+          lower_left=jnp.tile(jnp.asarray(fov_ll, jnp.float32),
+                              (len(actions), 1)),
+          upper_right=jnp.tile(jnp.asarray(fov_ur, jnp.float32),
+                               (len(actions), 1)),
+      ),
+  )
+  _, control = ours.to_controls(None, ctx, jnp.asarray(actions))
+  for i, action in enumerate(actions):
+    [ref_control] = ref_adapter.get_action(ref_obs, action)
+    np.testing.assert_allclose(
+        np.asarray(control.position[i]),
+        [ref_control.position.x, ref_control.position.y],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_vector_features_match_reference():
+  from putting_dune_tpu import structures
+  from putting_dune_tpu.env import features as our_features
+  from putting_dune_tpu.env import goals as our_goals
+
+  fc = _ref('feature_constructors')
+  goals_ref = _ref('goals')
+
+  si_mic = np.asarray([0.52, 0.48])
+  # Three neighbors at bond-ish distance in microscope units.
+  nbrs = si_mic + 0.08 * np.asarray(
+      [[1.0, 0.0], [-0.5, 0.87], [-0.5, -0.87]]
+  )
+  fov_ll, fov_ur = np.asarray([-7.0, -7.0]), np.asarray([7.0, 7.0])
+  ref_obs = _ref_vector_observation(
+      si_mic, fov_ll, fov_ur, extra_atoms=list(nbrs)
+  )
+  goal_material = np.asarray([2.5, -1.0])
+  ref_goal = goals_ref.SingleSiliconGoalReaching()
+  ref_goal.goal_position_material_frame = goal_material
+  theirs = fc.SingleSiliconPristineGrapheneFeatureConstuctor()
+  ref_vec = theirs.get_features(ref_obs, ref_goal)
+
+  obs = structures.MicroscopeObservation(
+      fov=structures.FieldOfView(
+          lower_left=jnp.asarray([fov_ll], jnp.float32),
+          upper_right=jnp.asarray([fov_ur], jnp.float32),
+      ),
+      si_position_microscope=jnp.asarray([si_mic], jnp.float32),
+      neighbor_positions_microscope=jnp.asarray([nbrs], jnp.float32),
+      elapsed_seconds=jnp.asarray([3.5], jnp.float32),
+      silicon_in_view=jnp.asarray([True]),
+  )
+  goal = our_goals.GoalState(
+      position_material=jnp.asarray([goal_material], jnp.float32),
+      consecutive_goal_steps=jnp.zeros((1,), jnp.int32),
+  )
+  our_vec = np.asarray(
+      our_features.SingleSiliconPristineGrapheneFeatures()(obs, goal)[0]
+  )
+
+  np.testing.assert_allclose(our_vec[:2], ref_vec[:2], rtol=1e-5)
+  np.testing.assert_allclose(our_vec[8:], ref_vec[8:], rtol=1e-4,
+                             atol=1e-5)
+  # Neighbor ORDER differs (static table vs sklearn kNN): compare the
+  # normalized-delta middle segment as angle-sorted sets.
+  ours_mid = np.sort(our_vec[2:8].reshape(3, 2), axis=0)
+  ref_mid = np.sort(np.asarray(ref_vec[2:8]).reshape(3, 2), axis=0)
+  np.testing.assert_allclose(ours_mid, ref_mid, rtol=1e-4, atol=1e-5)
+
+
+def test_goal_reward_and_terminal_matches_reference():
+  from putting_dune_tpu.env import goals as our_goals
+
+  goals_ref = _ref('goals')
+  goal_material = np.asarray([1.0, 1.0])
+  fov_ll, fov_ur = np.asarray([-5.0, -5.0]), np.asarray([5.0, 5.0])
+
+  ref_goal = goals_ref.SingleSiliconGoalReaching()
+  ref_goal.goal_position_material_frame = goal_material
+  ref_goal._consecutive_goal_steps = 0
+
+  goal = our_goals.GoalState(
+      position_material=jnp.asarray([goal_material], jnp.float32),
+      consecutive_goal_steps=jnp.zeros((1,), jnp.int32),
+  )
+
+  # Si path: far -> near (terminal fires immediately: required steps = 1).
+  for si_material, elapsed in (
+      (np.asarray([4.0, -3.0]), 3.5),
+      (np.asarray([1.2, 1.3]), 5.0),   # 0.36 A from goal < 0.71 radius
+  ):
+    si_mic = (si_material - fov_ll) / (fov_ur - fov_ll)
+    ref_obs = _ref_vector_observation(si_mic, fov_ll, fov_ur)
+    ref_obs = ref_obs.__class__(
+        grid=ref_obs.grid, fov=ref_obs.fov, controls=(),
+        elapsed_time=dt.timedelta(seconds=elapsed),
+    )
+    ref_ret = ref_goal.calculate_reward_and_terminal(ref_obs)
+    goal, our_ret = our_goals.reward_and_terminal(
+        goal,
+        jnp.asarray([si_material], jnp.float32),
+        jnp.asarray([elapsed], jnp.float32),
+    )
+    assert bool(our_ret.is_terminal[0]) == bool(ref_ret.is_terminal)
+    np.testing.assert_allclose(
+        float(our_ret.reward[0]), float(ref_ret.reward), rtol=1e-5
+    )
