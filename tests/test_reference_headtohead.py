@@ -844,3 +844,128 @@ def test_goal_reward_and_terminal_matches_reference():
     np.testing.assert_allclose(
         float(our_ret.reward[0]), float(ref_ret.reward), rtol=1e-5
     )
+
+
+# --- imaging -----------------------------------------------------------------
+
+
+def test_clean_image_matches_reference():
+  """The MXU-splat clean render vs the reference's ACTUAL
+  histogram+gaussian_filter implementation (scipy only — no shims on
+  this path) on identical atoms and FOV."""
+  from putting_dune_tpu import simulator as simulator_lib
+  from putting_dune_tpu.imaging import render as render_lib
+
+  imaging_ref = _ref('imaging')
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+
+  lat = lattice_lib.make_lattice(20)
+  config = simulator_lib.SimulatorConfig(grid_columns=20)
+  state, obs = simulator_lib.reset(
+      jax.random.PRNGKey(2), lat, config=config, batch_size=2,
+      return_window=True,
+  )
+  window, fov = obs.window, state.fov
+  size = 128
+  exponent = 1.7
+  ours = np.asarray(
+      render_lib.render_clean_image(
+          window, fov, jnp.full((2,), exponent, jnp.float32),
+          image_size=size,
+      )
+  )
+  for b in range(2):
+    mask = np.asarray(window.mask)[b]
+    grid = mu.AtomicGridMicroscopeFrame(
+        mu.AtomicGrid(
+            np.asarray(window.positions)[b][mask],
+            np.asarray(window.atomic_numbers)[b][mask],
+        )
+    )
+    ref_fov = mu.MicroscopeFieldOfView(
+        geo.PointMaterialFrame(
+            geo.Point(np.asarray(fov.lower_left)[b])
+        ),
+        geo.PointMaterialFrame(
+            geo.Point(np.asarray(fov.upper_right)[b])
+        ),
+    )
+    theirs = imaging_ref.generate_clean_image(
+        grid, ref_fov, intensity_exponent=exponent, image_size=size
+    )
+    assert np.abs(ours[b] - theirs).max() < 5e-3, (
+        b, np.abs(ours[b] - theirs).max()
+    )
+
+
+def test_noise_stages_match_reference_distributionally():
+  """Shim-independent noise stages (poisson, jitter, exponential,
+  uniform use only numpy RNG in the reference): run the REFERENCE
+  implementation and ours on the same clean image, compare moments."""
+  from putting_dune_tpu.imaging import noise as noise_lib
+
+  imaging_ref = _ref('imaging')
+  rng = np.random.default_rng(0)
+  base = rng.uniform(0.0, 1.0, (96, 96))
+  batch = jnp.asarray(np.tile(base, (8, 1, 1)), jnp.float32)
+
+  # Poisson: multiplier 120 (the reference samples 100-200, imaging.py).
+  ref_out = np.stack([
+      imaging_ref.apply_poisson_noise(base, 120.0, np.random.default_rng(i))
+      for i in range(8)
+  ])
+  our_out = np.asarray(
+      noise_lib.apply_poisson_noise(
+          jax.random.PRNGKey(0), batch, jnp.full((8,), 120.0)
+      )
+  )
+  assert abs(ref_out.mean() - our_out.mean()) < 0.01, (
+      ref_out.mean(), our_out.mean())
+  assert abs(ref_out.std() - our_out.std()) < 0.01
+
+  # Exponential additive noise.
+  ref_out = np.stack([
+      imaging_ref.apply_exponential_noise(
+          base, 0.2, np.random.default_rng(i)
+      )
+      for i in range(8)
+  ])
+  our_out = np.asarray(
+      noise_lib.apply_exponential_noise(
+          jax.random.PRNGKey(1), batch, jnp.full((8,), 0.2)
+      )
+  )
+  assert abs(ref_out.mean() - our_out.mean()) < 0.02
+  assert abs(ref_out.std() - our_out.std()) < 0.02
+
+  # Uniform additive noise.
+  ref_out = np.stack([
+      imaging_ref.apply_uniform_noise(base, 0.3, np.random.default_rng(i))
+      for i in range(8)
+  ])
+  our_out = np.asarray(
+      noise_lib.apply_uniform_noise(
+          jax.random.PRNGKey(2), batch, jnp.full((8,), 0.3)
+      )
+  )
+  assert abs(ref_out.mean() - our_out.mean()) < 0.02
+  assert abs(ref_out.std() - our_out.std()) < 0.02
+
+  # Row jitter: identical marginal row-shift law -> column-mean profiles
+  # blur the same way; compare total mass and row-mean invariance.
+  ref_out = np.stack([
+      imaging_ref.apply_jitter(base, 2.0, np.random.default_rng(i))
+      for i in range(8)
+  ])
+  our_out = np.asarray(
+      noise_lib.apply_jitter(
+          jax.random.PRNGKey(3), batch, jnp.full((8,), 2.0)
+      )
+  )
+  # Circular shifts preserve each row exactly.
+  np.testing.assert_allclose(
+      np.sort(our_out[0], axis=-1), np.sort(np.tile(base, (1, 1)), axis=-1)[0:96],
+      rtol=1e-4, atol=1e-4,
+  )
+  assert abs(ref_out.mean() - our_out.mean()) < 1e-3
