@@ -969,3 +969,98 @@ def test_noise_stages_match_reference_distributionally():
       rtol=1e-4, atol=1e-4,
   )
   assert abs(ref_out.mean() - our_out.mean()) < 1e-3
+
+
+# --- rate-learning data path -------------------------------------------------
+
+
+def test_augmentation_matches_reference():
+  """6-fold symmetry augmentation vs the reference's jax implementation:
+  same multiset of augmented (state, dt, rates, position) tuples."""
+  from putting_dune_tpu.rate_learning import data_utils as our_du
+
+  ref_du = _ref('rate_learning.data_utils')
+
+  rng = np.random.default_rng(0)
+  n = 16
+  states = rng.integers(0, 4, n)  # 0 = no transition, 1..3 = neighbor
+  times = rng.uniform(0.5, 3.0, n)
+  rates = rng.uniform(0.0, 1.0, (n, 3))
+  position = rng.uniform(-2.0, 2.0, (n, 2))
+  context = rng.uniform(-1.0, 1.0, (n, 6, 2))
+
+  r_states, r_times, r_rates, r_pos, r_ctx = ref_du.rotate_dataset(
+      jnp.asarray(states), jnp.asarray(times), jnp.asarray(rates),
+      jnp.asarray(position), jnp.asarray(context),
+  )
+  ref_rows = np.concatenate(
+      [
+          np.asarray(r_states, np.float64).reshape(-1, 1),
+          np.asarray(r_times).reshape(-1, 1),
+          np.asarray(r_rates).reshape(-1, 3),
+          np.asarray(r_pos).reshape(-1, 2),
+          np.asarray(r_ctx).reshape(len(r_states), -1),
+      ],
+      axis=1,
+  )
+
+  o_states, o_times, o_rates, o_pos, o_ctx = our_du.rotate_dataset(
+      jnp.asarray(states), jnp.asarray(times), jnp.asarray(rates),
+      jnp.asarray(position), jnp.asarray(context),
+  )
+  our_rows = np.concatenate(
+      [
+          np.asarray(o_states, np.float64).reshape(-1, 1),
+          np.asarray(o_times).reshape(-1, 1),
+          np.asarray(o_rates).reshape(-1, 3),
+          np.asarray(o_pos).reshape(-1, 2),
+          np.asarray(o_ctx).reshape(len(o_states), -1),
+      ],
+      axis=1,
+  )
+  assert ref_rows.shape == our_rows.shape == (3 * n, 6 + 1 + context[0].size)
+  ref_sorted = ref_rows[np.lexsort(ref_rows.T[::-1])]
+  our_sorted = our_rows[np.lexsort(our_rows.T[::-1])]
+  np.testing.assert_allclose(our_sorted, ref_sorted, rtol=1e-5, atol=1e-6)
+
+  # Reflection too.
+  ref_refl = ref_du.reflect_dataset(
+      jnp.asarray(states), jnp.asarray(times), jnp.asarray(rates),
+      jnp.asarray(position), jnp.asarray(context),
+  )
+  our_refl = our_du.reflect_transitions(
+      jnp.asarray(states), jnp.asarray(times), jnp.asarray(rates),
+      jnp.asarray(position), jnp.asarray(context),
+  )
+  for ref_part, our_part in zip(ref_refl[:4], our_refl[:4]):
+    np.testing.assert_allclose(
+        np.asarray(our_part, np.float64),
+        np.asarray(ref_part, np.float64),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_standardize_beam_and_neighbors_matches_reference():
+  from putting_dune_tpu.rate_learning import data_utils as our_du
+
+  ref_du = _ref('rate_learning.data_utils')
+  rng = np.random.default_rng(5)
+  for _ in range(32):
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 3))
+    neighbors = 1.42 * np.stack(
+        [np.cos(angles), np.sin(angles)], axis=-1
+    )
+    beam = rng.uniform(-2, 2, 2)
+    ref_beam, ref_nbrs, ref_order = ref_du.standardize_beam_and_neighbors(
+        beam.copy(), neighbors.copy()
+    )
+    our_beam, our_nbrs, our_order = our_du.standardize_beam_and_neighbors(
+        beam.copy(), neighbors.copy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_beam).reshape(-1),
+        np.asarray(ref_beam).reshape(-1),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_allclose(our_nbrs, ref_nbrs, rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(our_order, ref_order)
