@@ -1064,3 +1064,44 @@ def test_standardize_beam_and_neighbors_matches_reference():
     )
     np.testing.assert_allclose(our_nbrs, ref_nbrs, rtol=1e-6, atol=1e-9)
     np.testing.assert_array_equal(our_order, ref_order)
+
+
+def test_survival_loss_matches_reference():
+  """Both loss functions on the SAME injected prediction function and
+  minibatch: mean loss and per-term losses must agree (the exponential
+  survival likelihood + class CE, learn_rates.py:102-164)."""
+  from putting_dune_tpu.rate_learning import losses as our_losses
+
+  ref_lr = _ref('rate_learning.learn_rates')
+
+  rng = np.random.default_rng(9)
+  n = 64
+  context = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+  w = jnp.asarray(rng.standard_normal((8, 4)) * 0.3, jnp.float32)
+
+  def apply_fn(params, network_state, key, x, is_training):
+    del params, key, is_training
+    return jax.nn.softplus(x @ w), network_state
+
+  next_state = jnp.asarray(rng.integers(1, 4, n), jnp.int32)
+  elapsed = jnp.asarray(rng.uniform(0.3, 3.0, n), jnp.float32)
+  did = jnp.asarray(rng.integers(0, 2, n), jnp.float32)
+  key = jax.random.PRNGKey(0)
+
+  ref_loss, (_, _, ref_rate_loss, ref_class_loss) = ref_lr.batched_loss_fn(
+      {}, {}, apply_fn, next_state, elapsed, did, context, key
+  )
+  our_loss, (_, _, our_rate_loss, our_class_loss) = (
+      our_losses.batched_loss_fn(
+          {}, {}, apply_fn, next_state, elapsed, did, context, key
+      )
+  )
+  np.testing.assert_allclose(float(our_loss), float(ref_loss), rtol=1e-5)
+  np.testing.assert_allclose(
+      np.asarray(our_rate_loss), np.asarray(ref_rate_loss), rtol=1e-4,
+      atol=1e-6,
+  )
+  np.testing.assert_allclose(
+      np.asarray(our_class_loss), np.asarray(ref_class_loss), rtol=1e-4,
+      atol=1e-6,
+  )
