@@ -33,8 +33,45 @@ STEPS_PER_CALL = 512
 ENV_STEP_BASELINE = 1_000_000.0
 FRAMES_BASELINE = 50_000.0
 
+# Peak numbers for one TPU v5e chip (the BASELINE target hardware):
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM. Utilization fields are computed as
+# XLA-cost-analysis totals (flops / bytes accessed of the whole compiled
+# program) divided by measured wall time and these peaks — achieved
+# fractions, methodology in PERFORMANCE.md §0. XLA's "bytes accessed" is
+# an HLO-level estimate (fusion can make it overcount actual HBM
+# traffic), so hbm_util is an upper-bound-ish indicator, not a
+# profiler-grade number.
+PEAK_BF16_FLOPS = 1.97e14
+PEAK_HBM_BYTES = 8.19e11
 
-def bench_env_steps(rate_fn=rates_lib.prior_rates, batch=None) -> float:
+
+def _program_cost(jitted, *args):
+  """(flops, bytes) totals of a compiled program, or None."""
+  try:
+    analysis = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+      analysis = analysis[0]
+    return (
+        float(analysis.get('flops', 0.0)),
+        float(analysis.get('bytes accessed', 0.0)),
+    )
+  except Exception:
+    return None
+
+
+def _utilization(cost, seconds):
+  if cost is None or seconds <= 0:
+    return {}
+  flops, nbytes = cost
+  return {
+      'flops_util': round(flops / seconds / PEAK_BF16_FLOPS, 4),
+      'hbm_util': round(nbytes / seconds / PEAK_HBM_BYTES, 4),
+      'achieved_gflops': round(flops / seconds / 1e9, 1),
+      'achieved_gbs': round(nbytes / seconds / 1e9, 1),
+  }
+
+
+def bench_env_steps(rate_fn=rates_lib.prior_rates, batch=None):
   batch = batch or BATCH
   lattice = lattice_lib.make_lattice(50)
   env = env_lib.PuttingDuneEnv(
@@ -77,7 +114,8 @@ def bench_env_steps(rate_fn=rates_lib.prior_rates, batch=None) -> float:
     state, ts, key, chk = rollout(state, ts, key)
     float(chk)  # host fetch: forces real completion
     best = min(best, time.perf_counter() - t0)
-  return batch * STEPS_PER_CALL / best
+  cost = _program_cost(rollout, state, ts, key)
+  return batch * STEPS_PER_CALL / best, _utilization(cost, best)
 
 
 def bench_frames(
@@ -113,10 +151,21 @@ def bench_frames(
     t0 = time.perf_counter()
     float(render_many(k, obs.window, state.fov, params))
     best = min(best, time.perf_counter() - t0)
-  return batch * rounds / best
+  cost = _program_cost(render_many, key, obs.window, state.fov, params)
+  util = _utilization(cost, best)
+  # XLA cost analysis sees custom calls (the fused Pallas noise/CLAHE
+  # kernels) as zero flops/bytes, so also report the ANALYTIC MXU load of
+  # the splat einsum — 2*B*K*S^2 flops/frame (K = window atom capacity),
+  # the pipeline's dominant matmul (PERFORMANCE.md §0/§2).
+  k_atoms = obs.window.positions.shape[-2]
+  splat_flops = 2.0 * batch * k_atoms * image_size ** 2 * rounds
+  util['splat_mxu_util_analytic'] = round(
+      splat_flops / best / PEAK_BF16_FLOPS, 4
+  )
+  return batch * rounds / best, util
 
 
-def bench_env_steps_learned() -> float:
+def bench_env_steps_learned():
   """Env steps/sec with the shipped distilled NEURAL rate predictor
   inside the KMC loop.
 
@@ -136,7 +185,7 @@ def bench_env_steps_learned() -> float:
       'rate_predictor',
   )
   if not os.path.isdir(workdir):
-    return 0.0
+    return 0.0, {}
   predictor = predictor_lib.LearnedRatePredictor(
       init_key=jax.random.PRNGKey(0),
       config=rl_config.RateLearningConfig(beam_units='angstroms'),
@@ -194,7 +243,8 @@ def bench_image_env_steps(
     state, ts, key, chk = rollout(state, ts, key)
     float(chk)
     best = min(best, time.perf_counter() - t0)
-  return batch * steps / best
+  cost = _program_cost(rollout, state, ts, key)
+  return batch * steps / best, _utilization(cost, best)
 
 
 def bench_stress_env_steps() -> float:
@@ -244,58 +294,72 @@ def bench_stress_env_steps() -> float:
 
 
 def main():
+  result = {}
+
+  def put(name, value, util):
+    result[name] = round(value, 1)
+    for k, v in (util or {}).items():
+      result[f'{name}_{k}'] = v
+
   # Frames are measured FIRST: the big env-rollout program leaves the
   # remote-TPU runtime in a state that degrades subsequent dispatch
   # throughput (observed 8.2k vs 23k f/s depending on order).
-  frames_ps = bench_frames()
-  frames512_ps = bench_frames(image_size=512, batch=64, rounds=16)
-  image_env_sps = bench_image_env_steps()
-  try:
-    # Reference default imaging conditions: render 512^2, agent sees 128.
-    image_env_refcond_sps = bench_image_env_steps(
-        render_size=512, obs_size=128, batch=64, steps=16
+  frames_ps, frames_util = bench_frames()
+  put('stem_frames_128_per_sec', frames_ps, frames_util)
+  f512, u512 = bench_frames(image_size=512, batch=64, rounds=16)
+  put('stem_frames_512_per_sec', f512, u512)
+  img_sps, img_util = bench_image_env_steps()
+  put('image_env_steps_per_sec_256envs', img_sps, img_util)
+  # Reference default imaging conditions (render 512^2, agent sees 128;
+  # imaging.py:39, feature_constructors.py:254-256) at increasing batch —
+  # the batch-scaling curve for the refcond configuration.
+  for refcond_batch, refcond_steps in ((64, 16), (128, 16), (256, 8)):
+    try:
+      sps, util = bench_image_env_steps(
+          render_size=512, obs_size=128, batch=refcond_batch,
+          steps=refcond_steps,
+      )
+    except Exception:
+      sps, util = 0.0, {}
+    put(
+        f'image_env_steps_per_sec_refcond_512render_{refcond_batch}envs',
+        sps, util,
     )
-  except Exception:
-    image_env_refcond_sps = 0.0
-  env_sps = bench_env_steps()
+  env_sps, env_util = bench_env_steps()
+  put('env_steps_per_sec_1024envs', env_sps, env_util)
   try:
-    learned_sps = bench_env_steps_learned()
+    learned_sps, learned_util = bench_env_steps_learned()
   except Exception:  # the headline bench must never die on an extra
-    learned_sps = 0.0
+    learned_sps, learned_util = 0.0, {}
+  put('learned_rate_env_steps_per_sec_1024envs', learned_sps, learned_util)
   try:
     stress_sps = bench_stress_env_steps()
   except Exception:
     stress_sps = 0.0
-  try:
+  result['stress_multidopant_drift_image_env_steps_per_sec_256envs'] = (
+      round(stress_sps, 1)
+  )
+  for big_batch in (4096, 8192):
     # BASELINE config 4 names 1024-4096 envs; scaling is sublinear-free
     # (independent envs, no collectives) so bigger batches amortize more.
-    env4096_sps = bench_env_steps(batch=4096)
-  except Exception:
-    env4096_sps = 0.0
-  try:
-    # Beyond the named range: 8192 envs (measured 6.49M steps/s; 16384
-    # reaches 7.11M but its remote compile is too slow for this bench).
-    env8192_sps = bench_env_steps(batch=8192)
-  except Exception:
-    env8192_sps = 0.0
+    # 16384 reaches 7.11M but its remote compile is too slow for this
+    # bench.
+    try:
+      sps, _ = bench_env_steps(batch=big_batch)
+    except Exception:
+      sps = 0.0
+    result[f'env_steps_per_sec_{big_batch}envs'] = round(sps, 1)
+
   result = {
       'metric': 'env_steps_per_sec_1024envs',
-      'value': round(env_sps, 1),
+      'value': result['env_steps_per_sec_1024envs'],
       'unit': 'steps/s',
       'vs_baseline': round(env_sps / ENV_STEP_BASELINE, 4),
-      'stem_frames_128_per_sec': round(frames_ps, 1),
-      'stem_frames_512_per_sec': round(frames512_ps, 1),
-      'image_env_steps_per_sec_256envs': round(image_env_sps, 1),
-      'image_env_steps_per_sec_refcond_512render_64envs': round(
-          image_env_refcond_sps, 1
-      ),
-      'learned_rate_env_steps_per_sec_1024envs': round(learned_sps, 1),
-      'stress_multidopant_drift_image_env_steps_per_sec_256envs': round(
-          stress_sps, 1
-      ),
-      'env_steps_per_sec_4096envs': round(env4096_sps, 1),
-      'env_steps_per_sec_8192envs': round(env8192_sps, 1),
       'stem_frames_vs_baseline': round(frames_ps / FRAMES_BASELINE, 4),
+      # Peaks used for the *_flops_util / *_hbm_util fields (v5e chip).
+      'peak_bf16_flops': PEAK_BF16_FLOPS,
+      'peak_hbm_bytes_per_sec': PEAK_HBM_BYTES,
+      **result,
       'device': str(jax.devices()[0]),
   }
   print(json.dumps(result))
