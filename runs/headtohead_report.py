@@ -253,6 +253,27 @@ def main():
   w('corresponding tests; images traverse tf.make_tensor_proto (reference)')
   w('and the TF-free codec (ours) in both directions.')
   w('')
+  w('## 5. Additional surfaces verified head-to-head in the test suite')
+  w('')
+  w('All in tests/test_reference_headtohead.py, against the executed')
+  w('reference implementations:')
+  w('')
+  w('- action adapters (RelativeToSilicon + material-frame): positions,')
+  w('  dwell mapping, clipping — element-wise;')
+  w('- 10-dim vector feature constructor and goal reward/termination')
+  w('  (0.5-bond radius, gamma**elapsed) — element-wise;')
+  w('- static neighbor table vs sklearn nearest_neighbors3;')
+  w('- clean STEM render vs the reference histogram2d+gaussian_filter')
+  w('  (scipy path, shim-free) — <5e-3 max pixel error at 128²;')
+  w('- shim-independent noise stages (poisson/jitter/exponential/uniform,')
+  w('  numpy RNG in the reference) — distributional moments;')
+  w('- 6-fold symmetry augmentation (rotation multisets + reflection) and')
+  w('  standardize_beam_and_neighbors — element-wise;')
+  w('- exponential-survival training loss on a shared injected prediction')
+  w('  function — element-wise;')
+  w('- GMM msgpack bundles and TensorProto/riegeli/tfrecords records in')
+  w('  both directions.')
+  w('')
   del shimmed
   root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
   out_path = os.path.join(root, 'PARITY_HEADTOHEAD.md')
