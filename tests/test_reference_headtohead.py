@@ -1105,3 +1105,31 @@ def test_survival_loss_matches_reference():
       np.asarray(our_class_loss), np.asarray(ref_class_loss), rtol=1e-4,
       atol=1e-6,
   )
+
+
+def test_reference_style_riegeli_dump_with_images_reads_natively(tmp_path):
+  """The reference's microscope pipeline ships riegeli records of
+  Trajectory protos with TensorProto images
+  (upload_microscope_data.py:223-244). Simulate that dump with the real
+  riegeli writer from the array_record wheel + the reference's own proto
+  encoding, then read it natively end-to-end."""
+  arm = pytest.importorskip('array_record.python.array_record_module')
+
+  from putting_dune_tpu.io import riegeli_native
+
+  traj = _reference_trajectory(num_obs=3, image_size=24, seed=7)
+  payload = traj.to_proto().SerializeToString()
+
+  path = str(tmp_path / 'dump.riegeli')
+  writer = arm.ArrayRecordWriter(path, 'group_size:1')
+  writer.write(payload)
+  writer.close()
+
+  [raw] = riegeli_native.read_array_record(path)
+  ours = md.Trajectory.from_proto_bytes(raw)
+  assert len(ours.observations) == 3
+  for ref_obs, our_obs in zip(traj.observations, ours.observations):
+    np.testing.assert_allclose(our_obs.image, ref_obs.image)
+    np.testing.assert_allclose(
+        our_obs.grid.atom_positions, ref_obs.grid.atom_positions
+    )
