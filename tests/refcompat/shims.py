@@ -68,6 +68,12 @@ def _make_shapely() -> types.ModuleType:
       # CoordinateSequence (graphene.py:371,620).
       return self._xy.reshape(1, 2).copy()
 
+    def __array__(self, dtype=None, copy=None):
+      # shapely 1.x Points convert to [x, y] under np.asarray (the
+      # reference's tests rely on it).
+      del copy
+      return self._xy.astype(dtype) if dtype else self._xy.copy()
+
     def __repr__(self):
       return f'POINT ({self.x} {self.y})'
 
