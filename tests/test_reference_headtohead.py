@@ -307,6 +307,38 @@ def _our_kmc_trials(n_trials, beam_delta, dwell, seed=0):
   return counts, first_times, first_sites
 
 
+def _reference_total_rate(beam_delta):
+  """Initial-state total rate lambda from the EXECUTED reference code."""
+  g = _ref('graphene')
+  geo = _ref('geometry')
+  _, _, _, si_index, world, ref_grid = _matched_grid()
+  beam = world[si_index] + beam_delta
+  rate_fn = g.PristineSingleSiGrRatePredictor(
+      canonical_rate_prediction_fn=g.simple_canonical_rate_function
+  )
+  rates = rate_fn(ref_grid, geo.PointMaterialFrame(geo.Point(beam)))
+  return float(rates.total_rate)
+
+
+def test_kmc_first_event_law_matches_reference_analytic():
+  """P(fire) vs the EXACT law 1-exp(-lambda*dwell), lambda from the
+  executed reference rate function. Removes reference-side MC noise: the
+  distributional tests above compare two n=3000 samples; here ours at
+  n=50k is pinned to the analytic value within 4 sigma (~0.8%)."""
+  n = 50_000
+  for beam_delta, dwell, seed in (
+      (np.asarray([1.0, 0.3]), 1.5, 7),
+      (np.asarray([0.4, -0.9]), 3.0, 8),
+  ):
+    lam = _reference_total_rate(beam_delta)
+    p_analytic = 1.0 - np.exp(-lam * dwell)
+    counts, _, _ = _our_kmc_trials(n, beam_delta, dwell, seed=seed)
+    p_mc = (counts > 0).mean()
+    sigma = np.sqrt(p_analytic * (1 - p_analytic) / n)
+    assert abs(p_mc - p_analytic) < 4 * sigma, (
+        beam_delta, dwell, p_mc, p_analytic, sigma)
+
+
 def test_kmc_statistics_match_reference():
   from scipy import stats as scipy_stats
 
@@ -616,18 +648,23 @@ def _our_eval(name, seeds):
 
 
 def test_eval_headtohead_greedy_simple_rates():
-  seeds = range(10)
+  # 100 episodes each side runs in ~15 s total; at this n the means agree
+  # within ~2 SEM (measured: ref 8.45 +- 0.41 vs ours 8.30 +- 0.37).
+  seeds = range(100)
   ref_reached, ref_actions = _reference_eval('greedy', seeds)
   our_reached, our_actions = _our_eval('greedy_simple_rates', seeds)
 
   # The greedy controller reliably reaches the goal under both stacks.
-  assert ref_reached.mean() >= 0.9, ref_reached
-  assert our_reached.mean() >= 0.9, our_reached
-  # Actions-to-goal agree to within ~30% (independent RNG streams over
-  # 10 episodes; the report script records the exact values).
-  assert abs(ref_actions.mean() - our_actions.mean()) < max(
-      3.0, 0.3 * ref_actions.mean()
-  ), (ref_actions.mean(), our_actions.mean())
+  assert ref_reached.mean() >= 0.95, ref_reached
+  assert our_reached.mean() >= 0.95, our_reached
+  # Actions-to-goal agree within 4 combined standard errors (+small
+  # slack): independent RNG streams, so means, not episodes, must match.
+  sem = np.sqrt(
+      ref_actions.var() / len(ref_actions)
+      + our_actions.var() / len(our_actions)
+  )
+  assert abs(ref_actions.mean() - our_actions.mean()) < 4 * sem + 0.5, (
+      ref_actions.mean(), our_actions.mean(), sem)
 
 
 def test_eval_headtohead_relative_random_simple():
