@@ -402,6 +402,216 @@ def _remap_kernel(
     out_ref[0, :, c0:c0 + w] = out_acc
 
 
+def _remap_natural_kernel(
+    bins_ref,  # (1, TH, WP) int32 — one dual-block row band, natural layout
+    luts_ref,  # (1, 4, 1, G1, V) f32 — corner LUTs for this band's G1 blocks
+    out_ref,  # (1, TH, WP) f32
+    lutv_ref,  # scratch (2, G1, TH, V) f32 — vertically pre-blended LUTs
+    *,
+    th: int,
+    tw: int,
+    g1: int,
+    nbins: int,
+):
+  """Remaps one padded row band in its NATURAL (rows, cols) layout.
+
+  The (B, K, P) flattened dual-block layout the original remap kernel
+  consumes costs two large XLA transposes around the pallas calls
+  (measured 1.8 + 1.3 ms per 64-frame 512² round — more than the kernels
+  themselves). Here the band is read as it sits in HBM, and the natural
+  row structure enables a halving the flat layout cannot express:
+  within a band, the bilinear row weight fy is CONSTANT PER ROW, so the
+  (top, bottom) corner pairs collapse into one per-row table
+  LUTv[side][j][r] = (1-fy_r)·corner_top + fy_r·corner_bottom built once
+  per band — 2 gathers per pixel (left/right side) instead of 4
+  (corners). take_along_axis reads op[r, idx[r, i]], i.e. per-row
+  tables come free. Bilinear weights come from iotas — no weight
+  operand. Chunks are exactly 128 lanes (Mosaic's gather needs
+  idx.shape == operand.shape); a chunk spanning multiple dual blocks
+  gathers each block's tables and selects by lane position.
+  """
+  lane = 128
+  wp = g1 * tw
+  assert nbins == 2 * lane, 'natural remap packs exactly 256 bins'
+
+  # ---- vertical preblend: (2, G1, TH, 128) int32 scratch per band ----
+  # LUTv[side][j][r] = (1-fy_r)·corner_top + fy_r·corner_bottom, then the
+  # two 128-bin halves are packed as bf16 pairs into one int32 lane
+  # (lo half in bits 0-15, hi half in bits 16-31) so the remap needs ONE
+  # gather per (side, block) — bin segments become a bit select instead
+  # of a second gather+mask pass. bf16 LUT quantization matches the XLA
+  # path, which feeds its LUT matmul bf16 on TPU.
+  fy = (
+      jax.lax.broadcasted_iota(jnp.int32, (th, nbins), 0).astype(jnp.float32)
+      + 0.5
+  ) / th  # (TH, V) — constant along V
+  for j in range(g1):
+    top_l = luts_ref[0, 0, 0, j:j + 1, :]  # (1, V) corner (i-1, j-1)
+    top_r = luts_ref[0, 1, 0, j:j + 1, :]  # (1, V) corner (i-1, j)
+    bot_l = luts_ref[0, 2, 0, j:j + 1, :]  # (1, V) corner (i,   j-1)
+    bot_r = luts_ref[0, 3, 0, j:j + 1, :]  # (1, V) corner (i,   j)
+    for side, top, bot in ((0, top_l, bot_l), (1, top_r, bot_r)):
+      blended = top + fy * (bot - top)  # (TH, V) f32
+      lo16 = jax.lax.bitcast_convert_type(
+          blended[:, :lane].astype(jnp.bfloat16), jnp.uint16
+      ).astype(jnp.int32)
+      hi16 = jax.lax.bitcast_convert_type(
+          blended[:, lane:].astype(jnp.bfloat16), jnp.uint16
+      ).astype(jnp.int32)
+      lutv_ref[side, j] = jax.lax.bitwise_or(
+          lo16, jax.lax.shift_left(hi16, 16)
+      )
+
+  # Mosaic's gather lowering needs idx.shape == operand.shape, so every
+  # chunk is exactly `lane` wide; when wp % lane != 0 the final chunk
+  # OVERLAPS the previous one (starts at wp - lane) and only its fresh
+  # trailing columns are written.
+  starts = list(range(0, wp - lane + 1, lane))
+  tail = wp % lane
+  if tail:
+    starts.append(wp - lane)
+
+  for c0 in starts:
+    w = lane
+    idx = bins_ref[0, :, c0:c0 + w]  # (TH, w) int32
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
+    col = lane_i + c0
+    # tw is a power of two (routing guarantee), so % and // are masks.
+    col_in_tile = jax.lax.bitwise_and(col, tw - 1)
+    j_of_lane = jax.lax.shift_right_logical(col, tw.bit_length() - 1)
+    fx = (col_in_tile.astype(jnp.float32) + 0.5) / tw
+    idx_m = jax.lax.bitwise_and(idx, lane - 1)
+    in_hi = idx >= lane
+    # bf16 value sits in the top 16 bits after the select below; widening
+    # bf16 -> f32 is exactly "top 16 bits, zero-filled mantissa tail".
+    himask = jnp.int32(-65536)  # 0xFFFF0000
+
+    j_first = c0 // tw
+    j_last = (c0 + w - 1) // tw
+    sides = []
+    for side in (0, 1):
+      val = jnp.zeros((th, w), jnp.float32)
+      for j in range(j_first, j_last + 1):
+        packed = jnp.take_along_axis(
+            lutv_ref[side, j, :, :], idx_m, axis=1
+        )  # (TH, w) int32: both halves of this block's table
+        bits = jnp.where(
+            in_hi,
+            jax.lax.bitwise_and(packed, himask),
+            jax.lax.shift_left(packed, 16),
+        )
+        acc = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        val = jnp.where(j_of_lane == j, acc, val) if j_last > j_first else acc
+      sides.append(val)
+    out_acc = sides[0] + fx * (sides[1] - sides[0])
+    if tail and c0 == wp - lane and c0 % lane:
+      # Overlapping tail: keep only the columns not already written.
+      out_ref[0, :, wp - tail:wp] = out_acc[:, lane - tail:]
+    else:
+      out_ref[0, :, c0:c0 + w] = out_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('g', 'th', 'tw', 'nbins', 'clip_limit', 'interpret'),
+)
+def clahe_fused_large_natural(
+    bins_padded: jnp.ndarray,  # (B, (g+1)*th, (g+1)*tw) int32, edge-padded
+    tiles: jnp.ndarray,  # (B, g^2, th*tw) int32 tile-layout bins
+    *,
+    g: int,
+    th: int,
+    tw: int,
+    nbins: int = 256,
+    clip_limit: float = 0.01,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """VMEM-safe split CLAHE, natural-layout remap: no dual-block transposes.
+
+  Same semantics as clahe_fused_large, but the remap phase reads the
+  edge-padded bins in their natural (B, HP, WP) layout, one dual-block
+  row band per grid step, and writes the equalized padded image in
+  natural layout (the caller crops the half-tile border). Requires tw
+  to be a power of two (all synthetic render sizes qualify); arbitrary
+  sizes stay on clahe_fused_large.
+  """
+  b = bins_padded.shape[0]
+  t = g * g
+  g1 = g + 1
+  p = th * tw
+  assert tw & (tw - 1) == 0, 'natural remap requires power-of-two tiles'
+  assert bins_padded.shape[1:] == (g1 * th, g1 * tw), bins_padded.shape
+
+  if nbins == 256 and (b * t) % _NIBBLE_SLC == 0:
+    groups = b * t // _NIBBLE_SLC
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel_nibble, nbins=nbins),
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec((1, _NIBBLE_SLC, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _NIBBLE_SLC, nbins),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (groups, _NIBBLE_SLC, nbins), jnp.float32
+        ),
+        interpret=interpret,
+    )(tiles.reshape(groups, _NIBBLE_SLC, p)).reshape(b, t, nbins)
+  else:
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel, nbins=nbins),
+        grid=(b * t,),
+        in_specs=[
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, nbins), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * t, 1, nbins), jnp.float32),
+        interpret=interpret,
+    )(tiles.reshape(b * t, 1, p)).reshape(b, t, nbins)
+
+  k = g1 * g1
+  luts = pl.pallas_call(
+      functools.partial(
+          _lut_kernel,
+          g=g, npx=p, nbins=nbins, clip_limit=clip_limit,
+      ),
+      grid=(b,),
+      in_specs=[
+          pl.BlockSpec((1, t, nbins), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, 4, k, nbins), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, 4, k, nbins), jnp.float32),
+      interpret=interpret,
+  )(hist)
+  # Band i consumes LUT rows [i*g1, (i+1)*g1) — expose them as a
+  # band-major axis so the remap BlockSpec can slice per grid step.
+  luts_banded = luts.reshape(b, 4, g1, g1, nbins)
+
+  return pl.pallas_call(
+      functools.partial(
+          _remap_natural_kernel, th=th, tw=tw, g1=g1, nbins=nbins
+      ),
+      grid=(b, g1),
+      in_specs=[
+          pl.BlockSpec((1, th, g1 * tw), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, 4, 1, g1, nbins), lambda i, j: (i, 0, j, 0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, th, g1 * tw), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((b, g1 * th, g1 * tw), jnp.float32),
+      scratch_shapes=[pltpu.VMEM((2, g1, th, nbins // 2), jnp.int32)],
+      interpret=interpret,
+  )(bins_padded, luts_banded.reshape(b, 4, g1, g1, nbins))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('g', 'th', 'tw', 'nbins', 'clip_limit', 'interpret'),

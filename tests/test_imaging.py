@@ -292,6 +292,23 @@ def test_clahe_fused_large_tiles_agree_with_xla():
   assert np.abs(fused - ref).max() < 4e-3
 
 
+def test_clahe_natural_remap_agrees_with_xla():
+  """The natural-layout large-tile path matches the XLA path.
+
+  256^2 at the default 8x8 grid: 32-px tile widths, so one 128-lane
+  chunk spans FOUR dual blocks and the 288-lane padded band ends in an
+  overlapping tail chunk — the two bookkeeping paths of
+  _remap_natural_kernel (ops/clahe_fused_pallas.py). 512^2 (two blocks
+  per chunk) runs the same kernel on TPU."""
+  key = jax.random.PRNGKey(45)
+  img = jax.random.uniform(key, (2, 256, 256))
+  ref = np.asarray(clahe_lib.equalize_adapthist(img, backend='xla'))
+  fused = np.asarray(
+      clahe_lib.equalize_adapthist(img, backend='pallas_fused')
+  )
+  assert np.abs(fused - ref).max() < 4e-3
+
+
 def test_fused_noise_chain_math_matches_stage_ops():
   """chain_from_uniforms == the imaging/noise.py stage composition.
 
