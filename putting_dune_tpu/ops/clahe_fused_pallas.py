@@ -406,7 +406,7 @@ def _remap_natural_kernel(
     bins_ref,  # (1, TH, WP) int32 — one dual-block row band, natural layout
     luts_ref,  # (1, 4, 1, G1, V) f32 — corner LUTs for this band's G1 blocks
     out_ref,  # (1, TH, WP) f32
-    lutv_ref,  # scratch (2, G1, TH, V) f32 — vertically pre-blended LUTs
+    lutv_ref,  # scratch (G1+1, TH, V/2) int32 — packed pre-blended LUTs
     *,
     th: int,
     tw: int,
@@ -434,33 +434,35 @@ def _remap_natural_kernel(
   wp = g1 * tw
   assert nbins == 2 * lane, 'natural remap packs exactly 256 bins'
 
-  # ---- vertical preblend: (2, G1, TH, 128) int32 scratch per band ----
-  # LUTv[side][j][r] = (1-fy_r)·corner_top + fy_r·corner_bottom, then the
-  # two 128-bin halves are packed as bf16 pairs into one int32 lane
-  # (lo half in bits 0-15, hi half in bits 16-31) so the remap needs ONE
-  # gather per (side, block) — bin segments become a bit select instead
-  # of a second gather+mask pass. bf16 LUT quantization matches the XLA
-  # path, which feeds its LUT matmul bf16 on TPU.
+  # ---- vertical preblend: (G1+1, TH, 128) int32 scratch per band ----
+  # LUTv[t][r] = (1-fy_r)·corner_top + fy_r·corner_bottom of tile COLUMN
+  # clip(t-1): adjacent dual blocks share tables (block j's right table
+  # IS block j+1's left), so a band has only G1+1 distinct vertical
+  # tables and a chunk spanning n blocks gathers n+1 of them, not 2n.
+  # The two 128-bin halves pack as bf16 pairs into one int32 lane (lo
+  # half in bits 0-15, hi in 16-31) so the remap needs ONE gather per
+  # table — bin segments become a bit select instead of a second
+  # gather+mask pass. bf16 LUT quantization matches the XLA path, which
+  # feeds its LUT matmul bf16 on TPU.
   fy = (
       jax.lax.broadcasted_iota(jnp.int32, (th, nbins), 0).astype(jnp.float32)
       + 0.5
   ) / th  # (TH, V) — constant along V
-  for j in range(g1):
-    top_l = luts_ref[0, 0, 0, j:j + 1, :]  # (1, V) corner (i-1, j-1)
-    top_r = luts_ref[0, 1, 0, j:j + 1, :]  # (1, V) corner (i-1, j)
-    bot_l = luts_ref[0, 2, 0, j:j + 1, :]  # (1, V) corner (i,   j-1)
-    bot_r = luts_ref[0, 3, 0, j:j + 1, :]  # (1, V) corner (i,   j)
-    for side, top, bot in ((0, top_l, bot_l), (1, top_r, bot_r)):
-      blended = top + fy * (bot - top)  # (TH, V) f32
-      lo16 = jax.lax.bitcast_convert_type(
-          blended[:, :lane].astype(jnp.bfloat16), jnp.uint16
-      ).astype(jnp.int32)
-      hi16 = jax.lax.bitcast_convert_type(
-          blended[:, lane:].astype(jnp.bfloat16), jnp.uint16
-      ).astype(jnp.int32)
-      lutv_ref[side, j] = jax.lax.bitwise_or(
-          lo16, jax.lax.shift_left(hi16, 16)
-      )
+  for t in range(g1 + 1):
+    if t == 0:
+      top = luts_ref[0, 0, 0, 0:1, :]  # corner (i-1, j-1) of block 0
+      bot = luts_ref[0, 2, 0, 0:1, :]  # corner (i,   j-1) of block 0
+    else:
+      top = luts_ref[0, 1, 0, t - 1:t, :]  # corner (i-1, j) of block t-1
+      bot = luts_ref[0, 3, 0, t - 1:t, :]  # corner (i,   j) of block t-1
+    blended = top + fy * (bot - top)  # (TH, V) f32
+    lo16 = jax.lax.bitcast_convert_type(
+        blended[:, :lane].astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.int32)
+    hi16 = jax.lax.bitcast_convert_type(
+        blended[:, lane:].astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.int32)
+    lutv_ref[t] = jax.lax.bitwise_or(lo16, jax.lax.shift_left(hi16, 16))
 
   # Mosaic's gather lowering needs idx.shape == operand.shape, so every
   # chunk is exactly `lane` wide; when wp % lane != 0 the final chunk
@@ -488,22 +490,26 @@ def _remap_natural_kernel(
 
     j_first = c0 // tw
     j_last = (c0 + w - 1) // tw
-    sides = []
-    for side in (0, 1):
-      val = jnp.zeros((th, w), jnp.float32)
-      for j in range(j_first, j_last + 1):
-        packed = jnp.take_along_axis(
-            lutv_ref[side, j, :, :], idx_m, axis=1
-        )  # (TH, w) int32: both halves of this block's table
-        bits = jnp.where(
-            in_hi,
-            jax.lax.bitwise_and(packed, himask),
-            jax.lax.shift_left(packed, 16),
-        )
-        acc = jax.lax.bitcast_convert_type(bits, jnp.float32)
-        val = jnp.where(j_of_lane == j, acc, val) if j_last > j_first else acc
-      sides.append(val)
-    out_acc = sides[0] + fx * (sides[1] - sides[0])
+    # One gather per DISTINCT table: blocks j_first..j_last need tables
+    # j_first..j_last+1 (block j interpolates tables j and j+1).
+    acc = {}
+    for t in range(j_first, j_last + 2):
+      packed = jnp.take_along_axis(
+          lutv_ref[t, :, :], idx_m, axis=1
+      )  # (TH, w) int32: both halves of table t
+      bits = jnp.where(
+          in_hi,
+          jax.lax.bitwise_and(packed, himask),
+          jax.lax.shift_left(packed, 16),
+      )
+      acc[t] = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    val_l = acc[j_first]
+    val_r = acc[j_first + 1]
+    for j in range(j_first + 1, j_last + 1):
+      sel = j_of_lane == j
+      val_l = jnp.where(sel, acc[j], val_l)
+      val_r = jnp.where(sel, acc[j + 1], val_r)
+    out_acc = val_l + fx * (val_r - val_l)
     if tail and c0 == wp - lane and c0 % lane:
       # Overlapping tail: keep only the columns not already written.
       out_ref[0, :, wp - tail:wp] = out_acc[:, lane - tail:]
@@ -607,7 +613,7 @@ def clahe_fused_large_natural(
       out_specs=pl.BlockSpec((1, th, g1 * tw), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, g1 * th, g1 * tw), jnp.float32),
-      scratch_shapes=[pltpu.VMEM((2, g1, th, nbins // 2), jnp.int32)],
+      scratch_shapes=[pltpu.VMEM((g1 + 1, th, nbins // 2), jnp.int32)],
       interpret=interpret,
   )(bins_padded, luts_banded.reshape(b, 4, g1, g1, nbins))
 
