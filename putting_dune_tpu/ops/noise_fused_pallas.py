@@ -83,11 +83,20 @@ def _renorm(image):
   return image / jnp.maximum(peak, 1e-20)
 
 
-def _roll_rows(image, shifts):
+def _roll_rows(image, shifts, max_shift=None):
   """out[y, x] = image[y, (x - shifts[y]) mod W] — np.roll per row.
 
   W is processed in 128-lane segments so the take_along_axis gather
   dimension always fits one vreg (any lane-aligned W).
+
+  max_shift: if set (< 128) the caller guarantees 0 <= shift <= max_shift
+  (shifts are clipped to that range), which collapses the general
+  W/128 x W/128 gather/select grid to exactly TWO gathers per output
+  chunk at any width: a pixel's source lies in the same 128-lane segment
+  or the one before, and both share the local index (x - shift) mod 128.
+  The noise chain uses this — its jitter shifts are Poisson with rate
+  <= 5 (reference imaging.py:42-72), so P(shift >= 128) < 1e-100 and
+  clipping is the same law in any statistical sense.
   """
   h, w = image.shape
   lane = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -96,6 +105,21 @@ def _roll_rows(image, shifts):
   idx = jax.lax.rem(jax.lax.rem(lane - shifts, w) + w, w)
   if w <= _LANE:
     return jnp.take_along_axis(image, idx, axis=1)
+  if max_shift is not None and max_shift < _LANE and w % _LANE == 0:
+    s = jnp.clip(shifts, 0, max_shift)  # (h, 1)
+    local = jax.lax.bitwise_and(lane - s, _LANE - 1)  # (x - shift) mod 128
+    in_chunk = jax.lax.bitwise_and(lane, _LANE - 1)  # x mod 128
+    from_prev = in_chunk < s  # source wraps into the previous segment
+    chunks = []
+    for c0 in range(0, w, _LANE):
+      c0p = c0 - _LANE if c0 else w - _LANE  # previous segment, circular
+      loc = local[:, c0:c0 + _LANE]
+      g_here = jnp.take_along_axis(image[:, c0:c0 + _LANE], loc, axis=1)
+      g_prev = jnp.take_along_axis(image[:, c0p:c0p + _LANE], loc, axis=1)
+      chunks.append(
+          jnp.where(from_prev[:, c0:c0 + _LANE], g_prev, g_here)
+      )
+    return jnp.concatenate(chunks, axis=1)
   # Mosaic's lane gather needs idx.shape == operand.shape, so process
   # 128-lane OUTPUT chunks against each 128-lane INPUT segment and select
   # (same pattern as the CLAHE LUT remap).
@@ -149,7 +173,7 @@ def chain_from_uniforms(image, params, draws):
       draws['u_row'], draws['z_row'],
       jnp.full_like(draws['u_row'], 1.0) * params['jitter_rate'],
   ).astype(jnp.int32)
-  image = _roll_rows(image, shifts)
+  image = _roll_rows(image, shifts, max_shift=_LANE - 1)
 
   # 3. Salt & pepper.
   u = draws['u_sp']

@@ -374,6 +374,24 @@ def test_fused_noise_roll_rows_matches_numpy():
   np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
+def test_fused_noise_roll_rows_small_shift_fast_path():
+  """max_shift < 128 at a lane-multiple width: the two-gather fast path
+  (the noise chain's jitter configuration) equals np.roll exactly,
+  including shifts of 0, 127, and wrap-around at the row start."""
+  from putting_dune_tpu.ops import noise_fused_pallas as nf
+
+  rng = np.random.default_rng(4)
+  img = rng.random((8, 256), np.float32)
+  shifts = np.asarray(
+      [[0], [1], [17], [63], [64], [100], [126], [127]], np.int32
+  )
+  got = np.asarray(
+      nf._roll_rows(jnp.asarray(img), jnp.asarray(shifts), max_shift=127)
+  )
+  want = np.stack([np.roll(img[i], shifts[i, 0]) for i in range(8)])
+  np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 def test_fused_noise_poisson_from_draws_moments():
   from putting_dune_tpu.ops import noise_fused_pallas as nf
 
