@@ -122,9 +122,14 @@ def equalize_adapthist(
         .transpose(0, 1, 3, 2, 4)
         .reshape(b, g * g, th * tw)
     )
+    # tw >= 64: at 32-px tiles a 128-lane chunk spans four dual blocks
+    # and the natural remap's gather duplication outweighs the transpose
+    # savings (measured 2.65 vs 2.27 ms/round at 256²-grid-8, B=128);
+    # at 64-px tiles and up the natural path wins (512²: 2.99 vs 4.97).
     if (
         not fused_small
         and (tw & (tw - 1)) == 0
+        and tw >= 64
         and nbins == 256
         and (g + 1) * tw >= 128
     ):

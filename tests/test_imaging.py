@@ -293,19 +293,38 @@ def test_clahe_fused_large_tiles_agree_with_xla():
 
 
 def test_clahe_natural_remap_agrees_with_xla():
-  """The natural-layout large-tile path matches the XLA path.
+  """The natural-layout large-tile kernel matches the XLA path.
 
-  256^2 at the default 8x8 grid: 32-px tile widths, so one 128-lane
-  chunk spans FOUR dual blocks and the 288-lane padded band ends in an
-  overlapping tail chunk — the two bookkeeping paths of
-  _remap_natural_kernel (ops/clahe_fused_pallas.py). 512^2 (two blocks
-  per chunk) runs the same kernel on TPU."""
+  Driven directly (the 'auto'/'pallas_fused' routes send 32-px tiles to
+  the transposing path, which measures faster there) at 256^2/grid 8:
+  32-px tile widths make one 128-lane chunk span FOUR dual blocks and
+  the 288-lane padded band end in an overlapping tail chunk — the two
+  bookkeeping paths of _remap_natural_kernel. 512^2 (two blocks per
+  chunk, the routed configuration) runs the same kernel on TPU."""
+  from putting_dune_tpu.ops import clahe_fused_pallas as cfp
+
   key = jax.random.PRNGKey(45)
   img = jax.random.uniform(key, (2, 256, 256))
+  b, h, w = img.shape
+  g, nbins = 8, 256
+  th, tw = h // g, w // g
   ref = np.asarray(clahe_lib.equalize_adapthist(img, backend='xla'))
-  fused = np.asarray(
-      clahe_lib.equalize_adapthist(img, backend='pallas_fused')
+
+  bins = jnp.clip((img * nbins).astype(jnp.int32), 0, nbins - 1)
+  pad_h, pad_w = th // 2, tw // 2
+  bins_padded = jnp.pad(
+      bins, ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)), mode='edge'
   )
+  tiles = (
+      bins.reshape(b, g, th, g, tw)
+      .transpose(0, 1, 3, 2, 4)
+      .reshape(b, g * g, th * tw)
+  )
+  out_padded = cfp.clahe_fused_large_natural(
+      bins_padded, tiles, g=g, th=th, tw=tw, nbins=nbins,
+      clip_limit=0.01, interpret=True,
+  )
+  fused = np.asarray(out_padded[:, pad_h:pad_h + h, pad_w:pad_w + w])
   assert np.abs(fused - ref).max() < 4e-3
 
 
