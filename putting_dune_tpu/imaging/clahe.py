@@ -136,9 +136,23 @@ def equalize_adapthist(
       # Natural-layout remap: reads/writes the padded image as it sits in
       # HBM, skipping the (B, K, P) dual-block transposes on both sides
       # (measured 3x the kernel cost at 512^2 — see the kernel docstring).
+      # Bins fit uint8 (nbins == 256 on this route), quartering the
+      # pad/transpose traffic of the remaining prep; the kernels widen
+      # in VMEM.
+      bins8 = bins.astype(jnp.uint8)
+      bins8_padded = jnp.pad(
+          bins8,
+          ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)),
+          mode='edge',
+      )
+      tiles8 = (
+          bins8.reshape(b, g, th, g, tw)
+          .transpose(0, 1, 3, 2, 4)
+          .reshape(b, g * g, th * tw)
+      )
       out_padded = clahe_fused_pallas.clahe_fused_large_natural(
-          bins_padded,
-          tiles,
+          bins8_padded,
+          tiles8,
           g=g,
           th=th,
           tw=tw,

@@ -304,6 +304,22 @@ def _hist_kernel_nibble(
   hist_ref[0] = _nibble_histograms(tiles_ref[0], nbins)
 
 
+def _hist_kernel_nibble_u8(
+    tiles_ref,  # (1, 4*SLC, P) uint8 — 32 tiles' pixel bins
+    hist_ref,  # out (1, 4*SLC, V) f32
+    *,
+    nbins: int,
+):
+  """uint8 tile bins: 32 sublanes per grid step (the int8 memory tiling
+  is (32, 128), so a (…, 8, P) u8 block would waste 4x the sublanes),
+  widened to int32 in VMEM and fed through the nibble histogram in
+  _NIBBLE_SLC slices. Quarters the tiles array's HBM traffic."""
+  for a in range(0, 4 * _NIBBLE_SLC, _NIBBLE_SLC):
+    hist_ref[0, a:a + _NIBBLE_SLC] = _nibble_histograms(
+        tiles_ref[0, a:a + _NIBBLE_SLC, :].astype(jnp.int32), nbins
+    )
+
+
 def _hist_kernel(
     tiles_ref,  # (1, 1, P) int32 — ONE tile's pixel bins
     hist_ref,  # out (1, 1, V) f32 — that tile's histogram
@@ -475,7 +491,9 @@ def _remap_natural_kernel(
 
   for c0 in starts:
     w = lane
-    idx = bins_ref[0, :, c0:c0 + w]  # (TH, w) int32
+    idx = bins_ref[0, :, c0:c0 + w]  # (TH, w) int32 or uint8
+    if idx.dtype != jnp.int32:
+      idx = idx.astype(jnp.int32)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1)
     col = lane_i + c0
     # tw is a power of two (routing guarantee), so % and // are masks.
@@ -548,7 +566,29 @@ def clahe_fused_large_natural(
   assert tw & (tw - 1) == 0, 'natural remap requires power-of-two tiles'
   assert bins_padded.shape[1:] == (g1 * th, g1 * tw), bins_padded.shape
 
-  if nbins == 256 and (b * t) % _NIBBLE_SLC == 0:
+  if (
+      tiles.dtype == jnp.uint8
+      and nbins == 256
+      and (b * t) % (4 * _NIBBLE_SLC) == 0
+  ):
+    groups = b * t // (4 * _NIBBLE_SLC)
+    hist = pl.pallas_call(
+        functools.partial(_hist_kernel_nibble_u8, nbins=nbins),
+        grid=(groups,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * _NIBBLE_SLC, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * _NIBBLE_SLC, nbins),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (groups, 4 * _NIBBLE_SLC, nbins), jnp.float32
+        ),
+        interpret=interpret,
+    )(tiles.reshape(groups, 4 * _NIBBLE_SLC, p)).reshape(b, t, nbins)
+  elif nbins == 256 and (b * t) % _NIBBLE_SLC == 0:
+    tiles = tiles.astype(jnp.int32)
     groups = b * t // _NIBBLE_SLC
     hist = pl.pallas_call(
         functools.partial(_hist_kernel_nibble, nbins=nbins),
@@ -566,6 +606,7 @@ def clahe_fused_large_natural(
         interpret=interpret,
     )(tiles.reshape(groups, _NIBBLE_SLC, p)).reshape(b, t, nbins)
   else:
+    tiles = tiles.astype(jnp.int32)
     hist = pl.pallas_call(
         functools.partial(_hist_kernel, nbins=nbins),
         grid=(b * t,),

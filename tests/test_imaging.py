@@ -310,7 +310,9 @@ def test_clahe_natural_remap_agrees_with_xla():
   th, tw = h // g, w // g
   ref = np.asarray(clahe_lib.equalize_adapthist(img, backend='xla'))
 
-  bins = jnp.clip((img * nbins).astype(jnp.int32), 0, nbins - 1)
+  bins = jnp.clip((img * nbins).astype(jnp.int32), 0, nbins - 1).astype(
+      jnp.uint8  # the production route feeds uint8 bins
+  )
   pad_h, pad_w = th // 2, tw // 2
   bins_padded = jnp.pad(
       bins, ((0, 0), (pad_h, th - pad_h), (pad_w, tw - pad_w)), mode='edge'
