@@ -313,7 +313,8 @@ def main():
   # Reference default imaging conditions (render 512^2, agent sees 128;
   # imaging.py:39, feature_constructors.py:254-256) at increasing batch —
   # the batch-scaling curve for the refcond configuration.
-  for refcond_batch, refcond_steps in ((64, 16), (128, 16), (256, 8)):
+  for refcond_batch, refcond_steps in ((64, 16), (128, 16), (256, 8),
+                                       (512, 8)):
     try:
       sps, util = bench_image_env_steps(
           render_size=512, obs_size=128, batch=refcond_batch,
