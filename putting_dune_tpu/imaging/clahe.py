@@ -130,6 +130,7 @@ def equalize_adapthist(
         not fused_small
         and (tw & (tw - 1)) == 0
         and tw >= 64
+        and th % 8 == 0  # band blocks must stay sublane-tile aligned
         and nbins == 256
         and (g + 1) * tw >= 128
     ):
