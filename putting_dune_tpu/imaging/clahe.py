@@ -130,7 +130,12 @@ def equalize_adapthist(
         not fused_small
         and (tw & (tw - 1)) == 0
         and tw >= 64
-        and th % 8 == 0  # band blocks must stay sublane-tile aligned
+        # Band blocks must stay sublane-tile aligned for the WIDEST
+        # memory tiling on the route: the uint8 bins_padded input has
+        # (32, 128) tiling, so a band starting at j*th needs th % 32 == 0
+        # (th % 8 only covers the f32 output; a 24-px band height from a
+        # non-square render could hit a Mosaic relayout or layout error).
+        and th % 32 == 0
         and nbins == 256
         and (g + 1) * tw >= 128
     ):

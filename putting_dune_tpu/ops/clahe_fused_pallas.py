@@ -419,7 +419,9 @@ def _remap_kernel(
 
 
 def _remap_natural_kernel(
-    bins_ref,  # (1, TH, WP) int32 — one dual-block row band, natural layout
+    bins_ref,  # (1, TH, WP) int32 or uint8 — one dual-block row band,
+    # natural layout (the production route feeds uint8; the gather below
+    # handles either dtype)
     luts_ref,  # (1, 4, 1, G1, V) f32 — corner LUTs for this band's G1 blocks
     out_ref,  # (1, TH, WP) f32
     lutv_ref,  # scratch (G1+1, TH, V/2) int32 — packed pre-blended LUTs
@@ -540,8 +542,10 @@ def _remap_natural_kernel(
     static_argnames=('g', 'th', 'tw', 'nbins', 'clip_limit', 'interpret'),
 )
 def clahe_fused_large_natural(
-    bins_padded: jnp.ndarray,  # (B, (g+1)*th, (g+1)*tw) int32, edge-padded
-    tiles: jnp.ndarray,  # (B, g^2, th*tw) int32 tile-layout bins
+    bins_padded: jnp.ndarray,  # (B, (g+1)*th, (g+1)*tw) int32 or uint8
+    # (production passes uint8 to quarter the HBM traffic), edge-padded
+    tiles: jnp.ndarray,  # (B, g^2, th*tw) int32 or uint8 tile-layout bins
+    # (the dtype check below routes uint8 through the nibble histogram)
     *,
     g: int,
     th: int,

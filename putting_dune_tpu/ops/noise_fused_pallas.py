@@ -36,6 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 _POISSON_SMALL_LAMBDA = 4.0
 _POISSON_INVERSION_TERMS = 12
 _LANE = 128
+# Largest Poisson jitter rate for which clipping row shifts at _LANE-1
+# is statistically exact (P(shift >= 128) < 1e-12); reference rates are
+# in [0, 5] (imaging.py:42-72).
+_MAX_JITTER_RATE = 40.0
 
 # Row-major order of the per-image parameters in the packed (B, 8) array.
 PARAM_FIELDS = (
@@ -169,6 +173,9 @@ def chain_from_uniforms(image, params, draws):
   image = _renorm(_poisson_from_draws(draws['u_pois'], draws['z_pois'], lam))
 
   # 2. Row-wise circular shifts, shift_y ~ Poisson(jitter_rate).
+  # max_shift=_LANE-1 clips shifts at 127: exact-law for jitter_rate <=
+  # _MAX_JITTER_RATE (P(shift >= 128) < 1e-12 at rate 40; the reference
+  # samples rates in [0, 5]). pack_params enforces the bound host-side.
   shifts = _poisson_from_draws(
       draws['u_row'], draws['z_row'],
       jnp.full_like(draws['u_row'], 1.0) * params['jitter_rate'],
@@ -243,7 +250,24 @@ def _kernel(
 
 
 def pack_params(params_struct, batch: int) -> jnp.ndarray:
-  """Packs per-image noise parameters into the kernel's (B, 8) layout."""
+  """Packs per-image noise parameters into the kernel's (B, 8) layout.
+
+  Enforces the fused chain's jitter_rate contract when the value is
+  concrete: the kernel's row-roll clips shifts at 127 (see
+  chain_from_uniforms), which is the same law only for small Poisson
+  rates. Traced values (under jit) skip the check — the samplers in
+  imaging/params.py stay within [0, 5] by construction.
+  """
+  jitter = getattr(params_struct, 'jitter_rate', None)
+  if jitter is not None and not isinstance(jitter, jax.core.Tracer):
+    peak = float(jnp.max(jnp.asarray(jitter)))
+    if peak > _MAX_JITTER_RATE:
+      raise ValueError(
+          f'jitter_rate {peak} exceeds {_MAX_JITTER_RATE}: the fused '
+          'noise kernel clips row shifts at 127, which diverges from '
+          'np.roll semantics at large Poisson rates. Use the unfused '
+          'imaging/noise.py chain for such parameters.'
+      )
   cols = [
       jnp.broadcast_to(
           jnp.asarray(getattr(params_struct, name), jnp.float32), (batch,)
