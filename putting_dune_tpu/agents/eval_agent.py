@@ -98,6 +98,30 @@ class _ActorCriticPolicy:
     return self._module.init(jax.random.PRNGKey(0), dummy)['params']
 
 
+class TfSavedModelAgent(agent_lib.Agent):
+  """Frozen-policy agent backed by a TF SavedModel.
+
+  Exact semantics of the reference TfEvalAgent
+  (/root/reference/putting_dune/agents/tf_eval_agent.py:23-32): the
+  SavedModel's __call__ maps the raw observation to the action. This is
+  the interop path for policies exported by the reference's jax2tf
+  pipeline (experiments/registry.py:71-164 downloads such models); the
+  native path is EvalAgent. TensorFlow is imported lazily — the
+  framework works without it.
+  """
+
+  def __init__(self, path: str):
+    import tensorflow as tf  # deferred: optional dependency
+
+    self._model = tf.saved_model.load(path)
+
+  def step(self, time_step) -> np.ndarray:
+    return np.asarray(self._model(time_step.observation))
+
+  def set_mode(self, mode: agent_lib.AgentMode) -> None:
+    pass
+
+
 class EvalAgent(agent_lib.Agent):
   """Applies a frozen policy to observations."""
 
