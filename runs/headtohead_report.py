@@ -20,6 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests import test_reference_headtohead as h2h  # noqa: E402
+from tests import test_reference_headtohead_eval as h2he  # noqa: E402
 
 assert h2h._REF is not None, f'reference unavailable: {h2h._REF_ERROR}'
 
@@ -105,8 +106,10 @@ def rate_math_rows():
 def kmc_rows():
   rows = []
   for label, beam, dwell, n in (
-      ('simple rates, beam si+(1.0,0.3), dwell 1.5 s', (1.0, 0.3), 1.5, 3000),
-      ('simple rates, beam si+(0.4,-0.9), dwell 3.0 s', (0.4, -0.9), 3.0, 3000),
+      ('simple rates, beam si+(1.0,0.3), dwell 1.5 s', (1.0, 0.3), 1.5,
+       20_000),
+      ('simple rates, beam si+(0.4,-0.9), dwell 3.0 s', (0.4, -0.9), 3.0,
+       20_000),
   ):
     ref_counts, ref_t, ref_sites = h2h._reference_kmc_trials(
         n, np.asarray(beam), dwell
@@ -147,16 +150,81 @@ def kmc_rows():
   return rows
 
 
+def kmc_tail_rows():
+  """Multi-event tail: count law, second-gap KS, successor sequences."""
+  n = 8000
+  beam = np.asarray([1.0, 0.3])
+  dwell = 6.0
+  ref_counts, ref_t, ref_s, si0 = h2h._reference_kmc_event_table(
+      n, beam, dwell, seed=3
+  )
+  our_counts, our_t, our_s, _ = h2h._our_kmc_event_table(
+      n, beam, dwell, seed=9
+  )
+  multi_ref = ref_counts >= 2
+  multi_our = our_counts >= 2
+  gap_ks = scipy_stats.ks_2samp(
+      (ref_t[:, 1] - ref_t[:, 0])[multi_ref],
+      (our_t[:, 1] - our_t[:, 0])[multi_our],
+  )
+  count_rows = [
+      (k, float((ref_counts == k).mean()), float((our_counts == k).mean()))
+      for k in range(5)
+  ]
+  return dict(
+      n=n,
+      label='simple rates, beam si+(1.0,0.3), dwell 6.0 s',
+      mean_ref=float(ref_counts.mean()),
+      mean_our=float(our_counts.mean()),
+      counts=count_rows,
+      n_multi_ref=int(multi_ref.sum()),
+      n_multi_our=int(multi_our.sum()),
+      gap_ks_stat=float(gap_ks.statistic),
+      gap_ks_p=float(gap_ks.pvalue),
+      ret_ref=float((ref_s[multi_ref, 1] == si0).mean()),
+      ret_our=float((our_s[multi_our, 1] == si0).mean()),
+  )
+
+
+def kmc_prior_anchor_row():
+  beam = np.asarray([1.2, 0.0])
+  dwell = 3.0
+  lam = h2h._reference_total_rate(beam, kind='prior')
+  p_analytic = 1.0 - np.exp(-lam * dwell)
+  n_big = 200_000
+  counts, _, _, _ = h2h._our_kmc_event_table(
+      n_big, beam, dwell, seed=17, kind='prior'
+  )
+  p_mc = float((counts > 0).mean())
+  sigma = float(np.sqrt(p_analytic * (1 - p_analytic) / n_big))
+  return dict(
+      label='prior rates, beam si+(1.2,0.0), dwell 3.0 s',
+      lam=float(lam),
+      p_analytic=float(p_analytic),
+      p_our=p_mc,
+      z=(p_mc - float(p_analytic)) / sigma,
+  )
+
+
 def eval_rows():
   rows = []
-  for kind, name, seeds in (
-      ('greedy', 'greedy_simple_rates', range(100)),
-      ('relative_random', 'relative_random_simple', range(20)),
+  ref_reached, ref_actions = h2h._reference_eval('greedy', range(100))
+  our_reached, our_actions = h2h._our_eval('greedy_simple_rates', range(100))
+  rows.append(dict(
+      name='greedy_simple_rates', n=100,
+      ref_success=float(ref_reached.mean()),
+      our_success=float(our_reached.mean()),
+      ref_actions=float(ref_actions.mean()),
+      our_actions=float(our_actions.mean()),
+  ))
+  for name, n in (
+      ('relative_random_simple', 100),
+      ('relative_random_prior_rates', 60),
   ):
-    ref_reached, ref_actions = h2h._reference_eval(kind, seeds)
-    our_reached, our_actions = h2h._our_eval(name, seeds)
+    ref_reached, ref_actions = h2he._reference_registry_eval(name, range(n))
+    our_reached, our_actions = h2he._our_batched_eval(name, range(n))
     rows.append(dict(
-        name=name, n=len(ref_reached),
+        name=name, n=n,
         ref_success=float(ref_reached.mean()),
         our_success=float(our_reached.mean()),
         ref_actions=float(ref_actions.mean()),
@@ -304,13 +372,37 @@ def main():
   w('(so row-level P(fire) gaps are reference-side sampling noise, not bias):')
   w('')
   w('| Configuration | lambda (ref) | P analytic | P ours (n=200k) |'
-    ' z ours | z ref (n=3000) |')
+    ' z ours | z ref (n=20k) |')
   w('|---|---|---|---|---|---|')
   for r in kmc:
     w(
         f"| {r['label']} | {r['lam']:.6f} | {r['p_analytic']:.5f} "
         f"| {r['p_our_200k']:.5f} | {r['z_our_200k']:+.2f} | {r['z_ref']:+.2f} |"
     )
+  prior_anchor = kmc_prior_anchor_row()
+  w(
+      f"| {prior_anchor['label']} | {prior_anchor['lam']:.6f} "
+      f"| {prior_anchor['p_analytic']:.5f} | {prior_anchor['p_our']:.5f} "
+      f"| {prior_anchor['z']:+.2f} | — |"
+  )
+  w('')
+  w('### Multi-event tail (beyond the first event)')
+  w('')
+  tail = kmc_tail_rows()
+  w(f"{tail['label']}, n={tail['n']}/side: mean events "
+    f"{tail['mean_ref']:.3f} (ref) vs {tail['mean_our']:.3f} (ours).")
+  w('')
+  w('| k | P(count=k) ref | ours |')
+  w('|---|---|---|')
+  for k, p_ref, p_our in tail['counts']:
+    w(f'| {k} | {p_ref:.4f} | {p_our:.4f} |')
+  w('')
+  w(f"Second-event waiting gap (count>=2; {tail['n_multi_ref']}/"
+    f"{tail['n_multi_our']} trials): KS stat {tail['gap_ks_stat']:.4f}, "
+    f"p={tail['gap_ks_p']:.3f}. Second hop returns the Si to its origin "
+    f"site with frequency {tail['ret_ref']:.3f} (ref) vs "
+    f"{tail['ret_our']:.3f} (ours) — the state-dependent successor "
+    'SEQUENCE, not just the first-event law.')
   w('')
   w('## 3. Eval aggregates (same experiments, same suites)')
   w('')
@@ -325,7 +417,39 @@ def main():
     )
   w('')
   w('Reference: eval_lib.evaluate host loop (its own env, material, KMC,')
-  w('agents). Ours: eval_lib.evaluate host loop over the batched core.')
+  w('agents). Ours: the greedy row drives our eval_lib.evaluate host loop;')
+  w('the random rows drive evaluate_batched (the primary device path).')
+  w('Two further composed rows live in tests/test_reference_headtohead_eval')
+  w('.py: the goal-sampling law (goal-distance/FOV-width ratio, KS at')
+  w('n=120/side, measured p=0.96) and an IMAGE-observation experiment — a')
+  w("shared pixel-gain policy consuming each stack's own rendered frames")
+  w('inside live episodes (renders at 128^2 both sides), success and')
+  w('actions-to-goal asserted within 4 combined SEM.')
+  w('')
+  w('## 3b. L6 learned-model stack (tests/test_reference_headtohead_models.py)')
+  w('')
+  w("- Transplant-parameter forward parity: the reference's recursive flax")
+  w('  UNet and GlobalLocalUNet parameters mapped onto the rebuilt')
+  w('  iterative modules produce BIT-EXACT logits (atol 1e-5 asserted;')
+  w('  measured 0.0) — the re-expressed architectures are the same')
+  w('  function.')
+  w("- Training-outcome parity: the reference's haiku rate learner and the")
+  w('  rebuilt trainer on ONE shared dataset (generated by the reference:')
+  w('  1500 transitions, prior mode, 3-model bootstrap ensembles, 80')
+  w('  epochs): per-neighbor surface correlation 0.993, argmax agreement')
+  w('  1.00 on the high-rate region, mean high-rate total-rate rel diff')
+  w('  0.077; totals anchored to the analytic prior at 0.977 (ours) /')
+  w('  0.990 (ref). Distilled single models agree at correlation >= 0.95.')
+  w("- Two-way SavedModel interop: our jax2tf export consumed by the")
+  w("  reference's LearnedTransitionRatePredictor.predict on a real")
+  w('  reference grid (rtol 1e-4); a reference-style exported policy')
+  w("  driven through our TfSavedModelAgent action-for-action equal to the")
+  w('  native agent inside a live episode.')
+  w('- Documented quirk: the reference synthetic generator rotates')
+  w('  next_state labels with the OPPOSITE sign from its own analytic rate')
+  w('  convention (labels match the positive-rotation convention at ~94%,')
+  w('  the analytic at ~33%); both stacks learn the data identically, and')
+  w('  label-permutation-invariant totals anchor cleanly.')
   w('')
   w('## 4. Golden record interop (tfrecords, images as TensorProto)')
   w('')

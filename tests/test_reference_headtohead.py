@@ -307,17 +307,102 @@ def _our_kmc_trials(n_trials, beam_delta, dwell, seed=0):
   return counts, first_times, first_sites
 
 
-def _reference_total_rate(beam_delta):
+def _reference_total_rate(beam_delta, kind='simple'):
   """Initial-state total rate lambda from the EXECUTED reference code."""
   g = _ref('graphene')
   geo = _ref('geometry')
   _, _, _, si_index, world, ref_grid = _matched_grid()
   beam = world[si_index] + beam_delta
+  canonical = (
+      g.simple_canonical_rate_function
+      if kind == 'simple'
+      else g.HumanPriorRatePredictor().predict
+  )
   rate_fn = g.PristineSingleSiGrRatePredictor(
-      canonical_rate_prediction_fn=g.simple_canonical_rate_function
+      canonical_rate_prediction_fn=canonical
   )
   rates = rate_fn(ref_grid, geo.PointMaterialFrame(geo.Point(beam)))
   return float(rates.total_rate)
+
+
+# --- multi-event tables (per-trial event times/sites, both stacks) -----------
+
+
+def _reference_kmc_event_table(
+    n_trials, beam_delta, dwell, seed=0, k=4, kind='simple'
+):
+  """(counts (n,), times (n,k) nan-padded, sites (n,k) -1-padded, si0)."""
+  g = _ref('graphene')
+  mu = _ref('microscope_utils')
+  geo = _ref('geometry')
+  _, _, _, si_index, world, ref_grid = _matched_grid()
+  si_pos = world[si_index]
+  canonical = (
+      g.simple_canonical_rate_function
+      if kind == 'simple'
+      else g.HumanPriorRatePredictor().predict
+  )
+  mat = g.PristineSingleDopedGraphene(
+      rate_function=g.PristineSingleSiGrRatePredictor(
+          canonical_rate_prediction_fn=canonical
+      ),
+      grid_columns=20,
+  )
+  mat._has_been_reset = True  # state injected below, bypass reset()
+  rng = np.random.default_rng(seed)
+  control = mu.BeamControlMaterialFrame(
+      mu.BeamControl(
+          geo.Point(si_pos + beam_delta), dt.timedelta(seconds=dwell)
+      )
+  )
+  counts = np.zeros(n_trials, np.int32)
+  times = np.full((n_trials, k), np.nan)
+  sites = np.full((n_trials, k), -1, np.int64)
+  for i in range(n_trials):
+    mat.grid = ref_grid
+    rec = _TransitionRecorder()
+    mat.apply_control(rng, control, observers=(rec,))
+    counts[i] = len(rec.events)
+    for j, (t, grid_after) in enumerate(rec.events[:k]):
+      times[i, j] = t
+      new_si = grid_after.atom_positions[grid_after.atomic_numbers == 14][0]
+      sites[i, j] = int(
+          np.argmin(np.linalg.norm(world - new_si, axis=-1))
+      )
+  return counts, times, sites, si_index
+
+
+def _our_kmc_event_table(
+    n_trials, beam_delta, dwell, seed=0, k=4, kind='simple'
+):
+  """Same table from the batched lax.while_loop engine (one device call)."""
+  lat, offset, theta, si_index, world, _ = _matched_grid()
+  si_pos = world[si_index]
+  rate_fn = (
+      rates_lib.simple_canonical_rates
+      if kind == 'simple'
+      else rates_lib.prior_rates
+  )
+  result = kmc_lib.apply_control(
+      jax.random.PRNGKey(seed),
+      lat,
+      jnp.tile(jnp.asarray(offset, jnp.float32), (n_trials, 1)),
+      jnp.full((n_trials,), theta, jnp.float32),
+      jnp.full((n_trials,), si_index, jnp.int32),
+      jnp.tile(jnp.asarray(si_pos + beam_delta, jnp.float32), (n_trials, 1)),
+      jnp.full((n_trials,), dwell, jnp.float32),
+      rate_fn,
+      record_events=k,
+      max_events=256,
+  )
+  counts = np.asarray(result.num_transitions)
+  times = np.asarray(result.event_times).T.astype(np.float64)  # (n, k)
+  sites = np.asarray(result.event_sites).T.astype(np.int64)
+  pad = np.arange(k)[None, :] >= counts[:, None]
+  times[pad] = np.nan
+  sites = np.where(pad, -1, sites)
+  assert not np.asarray(result.truncated).any()
+  return counts, times, sites, si_index
 
 
 def test_kmc_first_event_law_matches_reference_analytic():
@@ -368,6 +453,68 @@ def test_kmc_statistics_match_reference():
   f_ref = np.asarray([(ref_sites == s).mean() for s in sites])
   f_our = np.asarray([(our_sites == s).mean() for s in sites])
   np.testing.assert_allclose(f_our, f_ref, atol=0.06)
+
+
+def test_kmc_prior_rates_first_event_law_matches_reference_analytic():
+  """Prior-rates analytic anchor (round-4 Weak #4): P(fire) vs the exact
+  law 1-exp(-lambda*dwell) with lambda from the EXECUTED reference
+  HumanPriorRatePredictor — pins the prior-rates KMC without
+  reference-side MC noise."""
+  n = 50_000
+  beam_delta = np.asarray([1.2, 0.0])
+  dwell = 3.0
+  lam = _reference_total_rate(beam_delta, kind='prior')
+  p_analytic = 1.0 - np.exp(-lam * dwell)
+  counts, _, _, _ = _our_kmc_event_table(
+      n, beam_delta, dwell, seed=17, kind='prior'
+  )
+  p_mc = (counts > 0).mean()
+  sigma = np.sqrt(p_analytic * (1 - p_analytic) / n)
+  assert abs(p_mc - p_analytic) < 4 * sigma, (p_mc, p_analytic, sigma)
+
+
+def test_kmc_multi_event_tail_matches_reference():
+  """The tail BEYOND the first event (round-4 Weak #4): event-count
+  distribution, second-gap waiting times conditioned on count>=2, and the
+  second event's return-to-origin frequency (state-dependent rates after
+  the first hop). Measured at authoring time (n=2200, dwell 6 s):
+  count-dist max diff 0.018, gap2 KS p=0.95, return 0.620/0.609."""
+  from scipy import stats as scipy_stats
+
+  n = 2200
+  beam_delta = np.asarray([1.0, 0.3])
+  dwell = 6.0
+  ref_counts, ref_t, ref_s, si0 = _reference_kmc_event_table(
+      n, beam_delta, dwell, seed=3
+  )
+  our_counts, our_t, our_s, _ = _our_kmc_event_table(
+      n, beam_delta, dwell, seed=9
+  )
+
+  # Event-count distribution P(count=k), k in {0..3}.
+  for k in range(4):
+    p_ref = (ref_counts == k).mean()
+    p_our = (our_counts == k).mean()
+    sigma = np.sqrt(2 * max(p_ref, 1e-3) * (1 - p_ref) / n)
+    assert abs(p_ref - p_our) < 4 * sigma + 0.01, (k, p_ref, p_our)
+
+  # Second-event waiting-time gap, conditioned on count >= 2.
+  multi_ref = ref_counts >= 2
+  multi_our = our_counts >= 2
+  assert multi_ref.sum() > 400 and multi_our.sum() > 400
+  gap_ref = (ref_t[:, 1] - ref_t[:, 0])[multi_ref]
+  gap_our = (our_t[:, 1] - our_t[:, 0])[multi_our]
+  ks = scipy_stats.ks_2samp(gap_ref, gap_our)
+  assert ks.pvalue > 1e-3, ks
+
+  # Successor SEQUENCE: does the second hop return the Si to its origin?
+  ret_ref = (ref_s[multi_ref, 1] == si0).mean()
+  ret_our = (our_s[multi_our, 1] == si0).mean()
+  sigma = np.sqrt(
+      ret_ref * (1 - ret_ref) / multi_ref.sum()
+      + ret_our * (1 - ret_our) / multi_our.sum()
+  )
+  assert abs(ret_ref - ret_our) < 4 * sigma + 0.02, (ret_ref, ret_our)
 
 
 def test_kmc_statistics_match_reference_prior_rates():
