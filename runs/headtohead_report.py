@@ -335,8 +335,14 @@ def main():
   w('')
   w('Caveat: the CLAHE stage of reference imaging runs through this')
   w("repo's own implementation of skimage's algorithm (shim), so imaging")
-  w('comparisons beyond that stage are not independent; nothing below')
-  w('depends on imaging.')
+  w('comparisons beyond that stage are not self-evidently independent.')
+  w('That implementation is itself validated against the PUBLISHED')
+  w('algorithm in tests/test_clahe_properties.py (two hand-derived golden')
+  w('vectors — the exactly-flat-histogram CDF ramp and the constant-image')
+  w('clip/redistribution arithmetic including the clim=1 floor — plus')
+  w('flattening, monotonicity, clip-bounded contrast gain and')
+  w('blend-continuity properties), which narrows the circularity to the')
+  w('algorithm spec itself; nothing below depends on imaging.')
   w('')
   w('## 1. Rate-function math (deterministic, element-wise)')
   w('')
