@@ -71,6 +71,93 @@ def _utilization(cost, seconds):
   }
 
 
+_VPU_CEILING_CACHE = [None]
+
+
+def bench_vpu_transcendental_ceiling(
+    n_elems=4_194_304, iters=16, exps_per_iter=32
+):
+  """MEASURED f32 transcendental issue ceiling of this chip's VPU.
+
+  Times dense exp-chains x <- exp(-x) (32 chained per element per scan
+  iteration so HBM round-trips and loop overhead amortize; values stay
+  in (e^-1, 1); data-dependent through the carry so XLA can neither
+  fold nor hoist them). Measured ~80 Gexp/s on the v5e, reproducible
+  within the tunnel's scatter; sparser chains (1 exp/iteration) only
+  reach ~21 Gexp/s — loop/HBM-bound, not a transcendental ceiling.
+  The *_vpu_util_analytic fields divide each pipeline's analytic
+  transcendental rate by this number, so "VPU-bound at the floor"
+  claims are auditable from the bench JSON alone (PERFORMANCE.md §0).
+  """
+  if _VPU_CEILING_CACHE[0] is not None:
+    return _VPU_CEILING_CACHE[0]
+
+  @jax.jit
+  def chain(x):
+    def body(x, _):
+      for _ in range(exps_per_iter):
+        x = jnp.exp(-x)
+      return x, ()
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return jnp.sum(x[0])
+
+  x = jnp.linspace(0.1, 1.0, n_elems, dtype=jnp.float32).reshape(-1, 1024)
+  float(chain(x))  # compile + warmup
+  best = float('inf')
+  for _ in range(5):
+    t0 = time.perf_counter()
+    float(chain(x))
+    best = min(best, time.perf_counter() - t0)
+  _VPU_CEILING_CACHE[0] = n_elems * iters * exps_per_iter / best
+  return _VPU_CEILING_CACHE[0]
+
+
+def _imaging_analytics(image_size, batch, rounds, k_atoms, seconds):
+  """Analytic per-kernel work of the imaging pipeline vs measured wall.
+
+  XLA cost analysis cannot see inside Pallas custom calls, so these
+  fields carry the ANALYTIC operation counts of each kernel family
+  (PERFORMANCE.md §0/§2/§3) next to the measured row:
+
+    * splat: 2*B*K*S^2 MACs/round on the MXU (exact einsum count) plus
+      2*K*S exps/frame for the Gaussian profile matrices;
+    * noise chain: ~8 transcendentals/pixel (Poisson hybrid, gamma pow,
+      exponential log, Box-Muller log/cos) and frames-in+out HBM bytes;
+    * CLAHE: nibble histograms use 2*16 compares/pixel + a block-diag
+      128x128 MXU contraction; the remap is ~2 gathers + 4 blend
+      MACs/pixel; bytes = uint8 bins in + f32 image out.
+
+  vpu_util_analytic = (all analytic transcendentals / wall) divided by
+  the MEASURED exp ceiling from bench_vpu_transcendental_ceiling.
+  """
+  px_round = batch * image_size * image_size
+  profile_transc = 2.0 * k_atoms * image_size * batch  # per round
+  noise_transc = 8.0 * px_round
+  ceiling = bench_vpu_transcendental_ceiling()
+  transc_rate = (profile_transc + noise_transc) * rounds / seconds
+  fields = {
+      'vpu_transcendental_ceiling_gops': round(ceiling / 1e9, 1),
+      'analytic_transcendentals_gops': round(transc_rate / 1e9, 2),
+      'vpu_util_analytic': round(transc_rate / ceiling, 4),
+      'noise_transcendentals_per_round': round(noise_transc),
+      'noise_min_ms_per_round_at_ceiling': round(
+          noise_transc / ceiling * 1e3, 3
+      ),
+      'noise_hbm_bytes_per_round': round(2 * 4 * px_round),
+      'clahe_hist_compares_per_round': round(32 * px_round),
+      'clahe_remap_gathers_per_round': round(2 * px_round),
+      'clahe_io_bytes_per_round': round(5 * px_round),
+      'splat_mxu_util_analytic': round(
+          2.0 * batch * k_atoms * image_size**2 * rounds
+          / seconds
+          / PEAK_BF16_FLOPS,
+          4,
+      ),
+  }
+  return fields
+
+
 def bench_env_steps(rate_fn=rates_lib.prior_rates, batch=None):
   batch = batch or BATCH
   lattice = lattice_lib.make_lattice(50)
@@ -154,13 +241,11 @@ def bench_frames(
   cost = _program_cost(render_many, key, obs.window, state.fov, params)
   util = _utilization(cost, best)
   # XLA cost analysis sees custom calls (the fused Pallas noise/CLAHE
-  # kernels) as zero flops/bytes, so also report the ANALYTIC MXU load of
-  # the splat einsum — 2*B*K*S^2 flops/frame (K = window atom capacity),
-  # the pipeline's dominant matmul (PERFORMANCE.md §0/§2).
+  # kernels) as zero flops/bytes, so the row also carries the ANALYTIC
+  # per-kernel work of the pipeline (PERFORMANCE.md §0/§2).
   k_atoms = obs.window.positions.shape[-2]
-  splat_flops = 2.0 * batch * k_atoms * image_size ** 2 * rounds
-  util['splat_mxu_util_analytic'] = round(
-      splat_flops / best / PEAK_BF16_FLOPS, 4
+  util.update(
+      _imaging_analytics(image_size, batch, rounds, k_atoms, best)
   )
   return batch * rounds / best, util
 
@@ -244,7 +329,22 @@ def bench_image_env_steps(
     float(chk)
     best = min(best, time.perf_counter() - t0)
   cost = _program_cost(rollout, state, ts, key)
-  return batch * steps / best, _utilization(cost, best)
+  util = _utilization(cost, best)
+  # Analytic per-kernel imaging work for this row too (one rendered
+  # frame per env step; the Pallas kernels are invisible to XLA cost
+  # analysis — see _imaging_analytics).
+  util.update(
+      _imaging_analytics(
+          render_size,
+          batch,
+          steps,
+          simulator_lib.SimulatorConfig(
+              image_size=render_size
+          ).window_capacity,
+          best,
+      )
+  )
+  return batch * steps / best, util
 
 
 def bench_stress_env_steps() -> float:
