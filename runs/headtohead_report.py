@@ -233,6 +233,135 @@ def eval_rows():
   return rows
 
 
+def image_eval_row(n=48):
+  """The image-observation pixel-policy experiment, at report scale.
+
+  Same construction as
+  test_reference_headtohead_eval.test_eval_headtohead_image_observation_
+  pixel_policy (shared deterministic pixel-gain policy, 5 s dwells,
+  128^2 renders both sides), run at n episodes per side.
+  """
+  import datetime as dtm
+  import functools
+
+  imaging_ref = h2he._ref('imaging')
+  experiments_ref = h2he._ref('experiments.experiments')
+  action_adapters_ref = h2he._ref('action_adapters')
+  feature_constructors_ref = h2he._ref('feature_constructors')
+  goals_ref = h2he._ref('goals')
+
+  orig_sampler = imaging_ref.sample_image_parameters
+  imaging_ref.sample_image_parameters = functools.partial(
+      orig_sampler, image_size=h2he._IMAGE_SIZE
+  )
+  try:
+
+    def ref_get_adapters():
+      return experiments_ref.AdaptersAndGoal(
+          action_adapter=action_adapters_ref.RelativeToSiliconActionAdapter(
+              dwell_time_range=(
+                  dtm.timedelta(seconds=5.0),
+                  dtm.timedelta(seconds=5.0),
+              )
+          ),
+          feature_constructor=(
+              feature_constructors_ref.ImageFeatureConstructor()
+          ),
+          goal=goals_ref.SingleSiliconGoalReaching(),
+      )
+
+    ref_reached, ref_actions = h2he._reference_registry_eval(
+        'relative_random_simple',
+        range(n),
+        agent=h2he._ref_pixel_agent(),
+        get_adapters=ref_get_adapters,
+    )
+  finally:
+    imaging_ref.sample_image_parameters = orig_sampler
+
+  from putting_dune_tpu.env import action_adapters as our_adapters
+  from putting_dune_tpu.env import features as features_lib
+  from putting_dune_tpu.experiments import experiments as our_experiments
+
+  def our_get_adapters():
+    return our_experiments.AdaptersAndGoal(
+        action_adapter=our_adapters.RelativeToSiliconActionAdapter(
+            min_dwell_seconds=5.0, max_dwell_seconds=5.0
+        ),
+        feature_constructor=features_lib.ImageFeatures(
+            image_size=h2he._IMAGE_SIZE
+        ),
+    )
+
+  our_reached, our_actions = h2he._our_batched_eval(
+      'relative_random_simple',
+      range(n),
+      policy=h2he._our_pixel_policy,
+      get_adapters=our_get_adapters,
+      image_size=h2he._IMAGE_SIZE,
+  )
+  sem = float(np.sqrt(
+      ref_actions.var() / n + our_actions.var() / n
+  ))
+  return dict(
+      name='image_observation_pixel_policy (128^2 renders, 5 s dwell)',
+      n=n,
+      ref_success=float(ref_reached.mean()),
+      our_success=float(our_reached.mean()),
+      ref_actions=float(ref_actions.mean()),
+      our_actions=float(our_actions.mean()),
+      actions_sem=sem,
+  )
+
+
+def goal_law_row(n=400):
+  """Composed goal-sampling law (goal-distance / FOV-width ratio), KS."""
+  from scipy import stats
+
+  registry = h2he._ref('experiments.registry')
+  run_helpers_ref = h2he._ref('run_helpers')
+  exp = registry.create_eval_experiment('relative_random_simple')
+  env = run_helpers_ref.create_putting_dune_env(
+      seed=0,
+      get_adapters_and_goal=exp.get_adapters_and_goal,
+      get_simulator_config=exp.get_simulator_config,
+  )
+  ratios_ref = []
+  for s in range(n):
+    env.seed(s)
+    ts = env.reset()
+    base = env
+    while hasattr(base, '_environment') or hasattr(base, 'environment'):
+      base = getattr(base, '_environment', None) or base.environment
+    width = base.last_microscope_observation.fov.width
+    d = float(np.hypot(*np.asarray(ts.observation).reshape(-1)[-2:]))
+    ratios_ref.append(d / width)
+
+  from putting_dune_tpu import run_helpers as our_run_helpers
+  from putting_dune_tpu.experiments import registry as our_registry
+
+  our_exp = our_registry.create_eval_experiment('relative_random_simple')
+  env2 = our_run_helpers.create_putting_dune_env(
+      0, our_exp.get_adapters_and_goal, our_exp.get_simulator_config
+  )
+  ratios_our = []
+  for s in range(n):
+    env2.seed(s)
+    ts = env2.reset()
+    d = float(np.hypot(*np.asarray(ts.observation).reshape(-1)[-2:]))
+    fov = env2._state.sim.fov
+    width = float(np.asarray(fov.upper_right[0, 0] - fov.lower_left[0, 0]))
+    ratios_our.append(d / width)
+  ks = stats.ks_2samp(np.asarray(ratios_ref), np.asarray(ratios_our))
+  return dict(
+      n=n,
+      mean_ref=float(np.mean(ratios_ref)),
+      mean_our=float(np.mean(ratios_our)),
+      ks_stat=float(ks.statistic),
+      ks_p=float(ks.pvalue),
+  )
+
+
 def interop_summary():
   import pathlib
 
@@ -421,16 +550,30 @@ def main():
         f"{r['our_success']:.2f} | {r['ref_actions']:.1f} / "
         f"{r['our_actions']:.1f} |"
     )
+  img = image_eval_row()
+  w(
+      f"| {img['name']} | {img['n']} | {img['ref_success']:.2f} / "
+      f"{img['our_success']:.2f} | {img['ref_actions']:.1f} / "
+      f"{img['our_actions']:.1f} (SEM {img['actions_sem']:.1f}) |"
+  )
   w('')
   w('Reference: eval_lib.evaluate host loop (its own env, material, KMC,')
   w('agents). Ours: the greedy row drives our eval_lib.evaluate host loop;')
   w('the random rows drive evaluate_batched (the primary device path).')
-  w('Two further composed rows live in tests/test_reference_headtohead_eval')
-  w('.py: the goal-sampling law (goal-distance/FOV-width ratio, KS at')
-  w('n=120/side, measured p=0.96) and an IMAGE-observation experiment — a')
-  w("shared pixel-gain policy consuming each stack's own rendered frames")
-  w('inside live episodes (renders at 128^2 both sides), success and')
-  w('actions-to-goal asserted within 4 combined SEM.')
+  w('The image row is the composed pixels->policy path: a shared')
+  w("deterministic pixel-gain policy consumes each stack's OWN rendered")
+  w('frames inside live episodes (128^2 renders both sides, 5 s dwells),')
+  w('so statistical differences anywhere in splat -> noise -> CLAHE ->')
+  w('resize -> features would shift the aggregates.')
+  w('')
+  glaw = goal_law_row()
+  w(
+      f"Composed goal-sampling law (goal-distance / FOV-width ratio over "
+      f"n={glaw['n']} resets/side): mean {glaw['mean_ref']:.4f} (ref) vs "
+      f"{glaw['mean_our']:.4f} (ours), KS stat {glaw['ks_stat']:.4f}, "
+      f"p={glaw['ks_p']:.3f} — pins FOV sampling, the FOV crop and "
+      'annulus-filtered uniform goal choice end-to-end.'
+  )
   w('')
   w('## 3b. L6 learned-model stack (tests/test_reference_headtohead_models.py)')
   w('')
