@@ -594,6 +594,12 @@ def main():
   w('  reference grid (rtol 1e-4); a reference-style exported policy')
   w("  driven through our TfSavedModelAgent action-for-action equal to the")
   w('  native agent inside a live episode.')
+  w('- Production-scale training outcome (runs/l6_scale_headtohead.py: '
+    '10-model bootstrap ensembles x 200 epochs on 12000 shared '
+    'transitions): per-neighbor surface corr 0.998, totals corr 0.996, '
+    'argmax agreement 1.00 on the high-rate region, mean high-rate rel '
+    'diff 0.045; totals vs the analytic prior 0.996 (ours) / 0.998 '
+    '(ref).')
   w('- Documented quirk: the reference synthetic generator rotates')
   w('  next_state labels with the OPPOSITE sign from its own analytic rate')
   w('  convention (labels match the positive-rotation convention at ~94%,')
