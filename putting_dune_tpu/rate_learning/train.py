@@ -51,13 +51,26 @@ def train_epoch(
       num_batches, batch_size
   )
 
-  def train_step(carry, inds):
-    # The minibatch is gathered HERE, inside the scan step: pre-gathering
-    # the whole shuffled epoch (`{k: a[batch_inds]}`) materializes a full
-    # dataset copy per epoch, which under the 50-model ensemble vmap is a
-    # multi-GB transient that crashes the TPU worker at production data
-    # scale (50 x 217k transitions). Per-step gathers are (B, feat) tiny.
-    batch = {k: a[inds] for k, a in train_data.items()}
+  # Gather strategy (static at trace time): on TPU the minibatch is
+  # gathered INSIDE the scan step — pre-gathering the whole shuffled
+  # epoch (`{k: a[batch_inds]}`) materializes a full dataset copy per
+  # epoch, which under the 50-model ensemble vmap is a multi-GB
+  # transient that crashes the TPU worker at production data scale
+  # (50 x 217k transitions); per-step gathers are (B, feat) tiny. On
+  # CPU the trade inverts: 560k scan-step gathers dominate wall time
+  # (measured 275 s vs the pre-gathered 31 s on the 10x200x72k L6-scale
+  # run), while the epoch copy is harmless host RAM — so CPU pre-gathers
+  # and scans over the leading axis.
+  pregather = jax.default_backend() == 'cpu'
+  if pregather:
+    epoch_batches = {k: a[batch_inds] for k, a in train_data.items()}
+
+  def train_step(carry, inds_or_batch):
+    batch = (
+        inds_or_batch
+        if pregather
+        else {k: a[inds_or_batch] for k, a in train_data.items()}
+    )
     params, network_state, opt_state = carry
     grad_fn = jax.value_and_grad(losses.batched_loss_fn, has_aux=True)
     (_, (network_state, _, _, _)), grad = grad_fn(
@@ -78,7 +91,9 @@ def train_epoch(
     return (params, network_state, opt_state), None
 
   (params, network_state, opt_state), _ = jax.lax.scan(
-      train_step, (params, network_state, opt_state), batch_inds
+      train_step,
+      (params, network_state, opt_state),
+      epoch_batches if pregather else batch_inds,
   )
   return params, network_state, opt_state, key
 
