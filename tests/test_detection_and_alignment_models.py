@@ -373,3 +373,97 @@ def test_aligner_arch_sidecar_roundtrip(tmp_path):
   )
   assert drift.shape == (2,)
   assert probs.shape == (64, 64, 3)
+
+
+def test_save_model_clis_export_matching_tf_saved_models(tmp_path):
+  """Both perception save_model CLIs package a trained checkpoint into the
+  native artifact AND (with --export_tf) a jax2tf TF SavedModel whose
+  outputs match the native module element-wise — extending SavedModel
+  interop coverage (test_reference_headtohead_models.py) to the
+  perception family (reference atom_detection/save_model.py:64-126 and
+  image_alignment/save_model.py)."""
+  tf = pytest.importorskip('tensorflow')
+  import os
+  import subprocess
+  import sys
+
+  # Repo root = THREE levels up from atom_detection/train.py. (One level
+  # short puts putting_dune_tpu/ itself on the child's PYTHONPATH, where
+  # its proto/ package shadows the pip `proto` (proto-plus) module that
+  # orbax's google-cloud-logging import needs.)
+  repo_root = os.path.dirname(os.path.dirname(
+      os.path.dirname(os.path.abspath(det_train.__file__))
+  ))
+  env = dict(os.environ, JAX_PLATFORMS='cpu', PYTHONPATH=repo_root)
+
+  # --- atom detection ---------------------------------------------------
+  det_workdir = tmp_path / 'det_run'
+  det_config = det_train.Config(
+      workdir=str(det_workdir), image_size=32, features=(4, 8),
+      batch_size=8, epochs=1, steps_per_epoch=2, eval_steps=1,
+      grid_columns=10,
+  )
+  det_train.train(det_config)
+  det_out = tmp_path / 'det_artifact'
+  proc = subprocess.run(
+      [
+          sys.executable, '-m', 'putting_dune_tpu.atom_detection.save_model',
+          f'--workdir={det_workdir}', f'--output_dir={det_out}',
+          '--image_size=32', '--features', '4', '8', '--export_tf',
+      ],
+      env=env, capture_output=True, text=True, timeout=300,
+  )
+  assert proc.returncode == 0, proc.stderr
+  assert (det_out / 'params.msgpack').exists()
+  assert (det_out / 'model.json').exists()
+
+  params = det_train.load_params(str(det_workdir), det_config)
+  image = np.asarray(
+      jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 1)), np.float32
+  )
+  native = np.asarray(
+      det_model.UNet(features=(4, 8)).apply({'params': params}, image)
+  )
+  tf_model = tf.saved_model.load(str(det_out / 'tf_saved_model'))
+  # TF re-lowers the jax2tf graph; conv reassociation gives ~1e-4-scale
+  # element diffs at these widths.
+  np.testing.assert_allclose(
+      np.asarray(tf_model(image)), native, rtol=1e-3, atol=1e-4
+  )
+
+  # --- image alignment --------------------------------------------------
+  align_workdir = tmp_path / 'align_run'
+  align_config = align_train.Config(
+      workdir=str(align_workdir), batch_size=8, epochs=1,
+      steps_per_epoch=2, eval_steps=1, image_size=32, num_frames=3,
+      features=(4, 8), grid_columns=10,
+  )
+  align_train.train(align_config)
+  align_out = tmp_path / 'align_artifact'
+  proc = subprocess.run(
+      [
+          sys.executable, '-m',
+          'putting_dune_tpu.image_alignment.save_model',
+          f'--workdir={align_workdir}', f'--output_dir={align_out}',
+          '--image_size=32', '--num_frames=3', '--features', '4', '8',
+          '--export_tf',
+      ],
+      env=env, capture_output=True, text=True, timeout=300,
+  )
+  assert proc.returncode == 0, proc.stderr
+  a_params = align_train.load_params(str(align_workdir), align_config)
+  stack = np.asarray(
+      jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)), np.float32
+  )
+  native_local, native_global = align_model.GlobalLocalUNet(
+      local_output_size=9, global_output_size=6, features=(4, 8)
+  ).apply({'params': a_params}, stack)
+  tf_align = tf.saved_model.load(str(align_out / 'tf_saved_model'))
+  tf_local, tf_global = tf_align(stack)
+  np.testing.assert_allclose(
+      np.asarray(tf_local), np.asarray(native_local), rtol=1e-3, atol=1e-4
+  )
+  np.testing.assert_allclose(
+      np.asarray(tf_global), np.asarray(native_global), rtol=1e-3,
+      atol=1e-4,
+  )
