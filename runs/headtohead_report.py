@@ -566,6 +566,18 @@ def main():
   w('so statistical differences anywhere in splat -> noise -> CLAHE ->')
   w('resize -> features would shift the aggregates.')
   w('')
+  w('A GMM (learned-rates) environment row surfaced a measured reference')
+  w("finding (test_eval_headtohead_gmm_learned_rates_env): the reference's")
+  w('own GMM env crashes on ~all episodes — its KMC loop casts successor')
+  w("rates to float32 before normalizing (graphene.py:678-686) and numpy's")
+  w("Generator.choice rejects probability sums outside ~1e-8 ('Probabilities")
+  w("do not sum to 1'; measured 39/40 seeds) — consistent with the")
+  w('reference registry shipping NO GMM eval experiment. The rebuild runs')
+  w('the same suite to completion (float-robust Gumbel-max successor')
+  w('choice) and its GMM dynamics are anchored to the executed reference')
+  w('rate LAW analytically: P(fire per 5 s action) at n=20k within 4 sigma')
+  w('of 1-exp(-lambda*dwell), lambda from the reference GMM object.')
+  w('')
   glaw = goal_law_row()
   w(
       f"Composed goal-sampling law (goal-distance / FOV-width ratio over "
