@@ -458,3 +458,128 @@ def test_reference_style_policy_savedmodel_through_our_agent(tmp_path):
     ts = env.step(a_native)
     steps += 1
   assert steps > 0
+
+
+def test_reference_predict_unit_mismatch_demonstrated(tmp_path):
+  """Measured reference finding behind our config's beam_units field.
+
+  The reference's pipeline canonicalizes beam offsets in raw ANGSTROMS
+  (train_rate_learner.py:443-452: control_delta = control_position -
+  silicon_position, no scaling), but its inference path divides the
+  beam by the bond length before standardizing (learn_rates.py:955) —
+  so pipeline-trained models are consumed at inputs scaled by 1/1.42
+  relative to training. This test trains the reference's own predictor
+  on angstrom-canonicalized data, runs its predict() consumption path,
+  and shows the result deviates materially from the SAME SavedModel
+  evaluated at the correctly-scaled context; the rebuild's predictor
+  with beam_units='angstroms' (rate_learning/config.py) is shown
+  self-consistent on the same data.
+
+  (Incidentally exercised: the freshly package_model()'d tf.Module is
+  NOT callable — instance __call__ assignment, learn_rates.py:911 — so
+  predict() only works after the SavedModel save/load round trip,
+  which this test performs as the reference's save()/load() would.)"""
+  tf = pytest.importorskip('tensorflow')
+  from ml_collections import config_dict
+
+  ref_lr = _ref('rate_learning.learn_rates')
+  ref_du = _ref('rate_learning.data_utils')
+
+  # Pipeline-style data: generator output with positions in ANGSTROMS.
+  train_ref, _ = ref_du.generate_synthetic_data(
+      num_data=1200, data_seed=5, num_states=3, context_dim=0,
+      actual_time_range=(0.0, 5.0), mode=ref_du.SyntheticDataType.PRIOR,
+  )
+  shared = {k: np.asarray(v) for k, v in train_ref.items()}
+  shared['position'] = shared['position'] * 1.42
+  shared['dt'] = shared['dt'].reshape(-1)
+  shared['next_state'] = shared['next_state'].reshape(-1).astype(np.int32)
+
+  kw = dict(_TRAIN_KW)
+  # augment_data=False: the reference's rotate_dataset reshape crashes on
+  # zero-width context arrays (data_utils.py:147, context_dim=0 — needed
+  # because predict() only composes with use_voltage=use_current=False:
+  # with either on it np.concatenates a PYTHON FLOAT into the context,
+  # learn_rates.py:962-964, which raises on 0-d arrays).
+  kw.update(
+      num_models=1, epochs=60, use_voltage=False, use_current=False,
+      augment_data=False,
+  )
+  ref_pred = ref_lr.LearnedTransitionRatePredictor(
+      init_key=jax.random.PRNGKey(2),
+      config=config_dict.FrozenConfigDict(kw),
+  )
+  ref_pred.train(
+      {k: jnp.asarray(v) for k, v in shared.items()},
+      jax.random.PRNGKey(12),
+  )
+  ref_pred.package_model()
+  export_dir = str(tmp_path / 'ref_pipeline_model_tf')
+  tf.saved_model.save(ref_pred.packaged_model, export_dir)
+  ref_pred.packaged_model = tf.saved_model.load(export_dir)
+
+  ref_mu = _ref('microscope_utils')
+  ref_geom = _ref('geometry')
+  bond = 1.42
+  si = np.array([0.5, -0.3])
+  angles = np.deg2rad([31.0, 151.0, 271.0])
+  neighbors = si + bond * np.stack(
+      [np.cos(angles), np.sin(angles)], axis=-1
+  )
+  grid = ref_mu.AtomicGridMaterialFrame(
+      ref_mu.AtomicGrid(
+          np.concatenate([si[None], neighbors]), np.array([14, 6, 6, 6])
+      )
+  )
+
+  mismatches = []
+  for beam_delta in ([1.1, 0.4], [-0.6, 1.0], [0.3, -1.2]):
+    beam = si + np.asarray(beam_delta)
+    via_predict = np.asarray(
+        ref_pred.predict(
+            grid,
+            ref_geom.Point(beam),
+            current_position=si,
+            neighbor_indices=np.array([1, 2, 3]),
+        )
+    )
+    # The SAME SavedModel at the TRAINING-consistent (angstrom) context.
+    new_beam, _, order = ref_du.standardize_beam_and_neighbors(
+        (beam - si).reshape(1, 2), neighbors - si
+    )
+    direct = np.asarray(
+        ref_pred.packaged_model(
+            np.asarray(new_beam, np.float32).reshape(1, 2)
+        )
+    )[0][np.argsort(order)]
+    rel = np.abs(via_predict - direct) / max(float(direct.max()), 1e-9)
+    mismatches.append(rel.max())
+  # The unit mismatch materially changes the consumed rates.
+  assert max(mismatches) > 0.15, mismatches
+
+  # The rebuild's fix: beam_units='angstroms' makes predict()
+  # self-consistent on the same pipeline-style data.
+  our_kw = dict(kw)
+  our_pred = predictor_lib.LearnedRatePredictor(
+      init_key=jax.random.PRNGKey(4),
+      config=config_lib.RateLearningConfig(
+          **our_kw, beam_units='angstroms'
+      ),
+  )
+  our_pred.train(shared, jax.random.PRNGKey(14))
+  for beam_delta in ([1.1, 0.4], [-0.6, 1.0]):
+    beam = si + np.asarray(beam_delta)
+    via_predict = our_pred.predict(
+        beam_position=beam,
+        silicon_position=si,
+        neighbor_positions=neighbors,
+    )
+    new_beam, _, order = ref_du.standardize_beam_and_neighbors(
+        (beam - si).reshape(1, 2), neighbors - si
+    )
+    direct = np.asarray(
+        our_pred.apply_model(
+            jnp.asarray(np.asarray(new_beam, np.float32).reshape(1, 2))
+        )
+    )[0][np.argsort(order)]
+    np.testing.assert_allclose(via_predict, direct, rtol=1e-4, atol=1e-6)
