@@ -612,6 +612,18 @@ def main():
     'argmax agreement 1.00 on the high-rate region, mean high-rate rel '
     'diff 0.045; totals vs the analytic prior 0.996 (ours) / 0.998 '
     '(ref).')
+  w('- Measured finding (test_reference_predict_unit_mismatch_')
+  w("  demonstrated): the reference's pipeline canonicalizes beam offsets")
+  w('  in raw angstroms (train_rate_learner.py:443-452) while its')
+  w('  predict() divides by the bond length (learn_rates.py:955), so')
+  w('  pipeline-trained models are consumed at inputs scaled by 1/1.42 —')
+  w('  shown to change the consumed rates materially on the executed')
+  w("  reference; the rebuild's beam_units config records the training")
+  w('  unit and is self-consistent. (Adjacent quirks characterized: the')
+  w('  augmentation reshape crashes on zero-width contexts; predict()')
+  w('  with voltage/current enabled concatenates a python float and')
+  w('  raises; a freshly packaged tf.Module is not callable until')
+  w('  saved+reloaded.)')
   w('- Documented quirk: the reference synthetic generator rotates')
   w('  next_state labels with the OPPOSITE sign from its own analytic rate')
   w('  convention (labels match the positive-rotation convention at ~94%,')
