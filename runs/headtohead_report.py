@@ -218,8 +218,8 @@ def eval_rows():
       our_actions=float(our_actions.mean()),
   ))
   for name, n in (
-      ('relative_random_simple', 100),
-      ('relative_random_prior_rates', 60),
+      ('relative_random_simple', 300),
+      ('relative_random_prior_rates', 120),
   ):
     ref_reached, ref_actions = h2he._reference_registry_eval(name, range(n))
     our_reached, our_actions = h2he._our_batched_eval(name, range(n))
