@@ -583,3 +583,78 @@ def test_reference_predict_unit_mismatch_demonstrated(tmp_path):
         )
     )[0][np.argsort(order)]
     np.testing.assert_allclose(via_predict, direct, rtol=1e-4, atol=1e-6)
+
+
+def test_generator_label_rotation_quirk_measured():
+  """Locks the module-docstring claim about the reference generator.
+
+  With dt large enough that every row transitions, the generated labels
+  are checked against both rotation conventions of the analytic prior:
+  rate_k(x) evaluated at x rotated by +2*pi*k/3 with R(t) = [[cos, sin],
+  [-sin, cos]]^T applied on the right ('positive' convention) vs the
+  opposite sign — and against the reference's own analytic evaluation
+  order (get_all_position_rotations + single_silicon_prior_rates). The
+  labels follow the positive convention (~94%, sampling noise) and NOT
+  the reference's analytic order (~33%, chance) — i.e. the reference's
+  generator and its analytic evaluation use mutually inconsistent
+  neighbor orderings, on BOTH the reference generator and ours (we
+  reproduce it bug-for-bug, so trained models agree)."""
+  ref_du = _ref('rate_learning.data_utils')
+  gph = _ref('graphene')
+  cst = _ref('constants')
+
+  mean = np.asarray(cst.SIGR_PRIOR_RATE_MEAN)
+  var = float(np.asarray(cst.SIGR_PRIOR_RATE_COV)[0, 0])
+
+  def rates_positive_convention(p):
+    out = []
+    for k in range(3):
+      theta = 2.0 * np.pi * k / 3.0
+      c, s = np.cos(theta), np.sin(theta)
+      rotated = p @ np.array([[c, s], [-s, c]]).T
+      out.append(np.exp(-0.5 * ((rotated - mean) ** 2).sum(-1) / var))
+    return np.stack(out, -1)
+
+  def rates_reference_analytic(p):
+    return np.stack([
+        np.asarray(
+            gph.single_silicon_prior_rates(
+                np.asarray(ref_du.get_all_position_rotations(
+                    jnp.asarray(row)
+                )),
+                mean=cst.SIGR_PRIOR_RATE_MEAN,
+                cov=cst.SIGR_PRIOR_RATE_COV,
+                max_rate=cst.SIGR_PRIOR_MAX_RATE,
+            )
+        )
+        for row in p
+    ])
+
+  for gen_name, gen in (
+      ('reference', lambda: ref_du.generate_synthetic_data(
+          num_data=3000, data_seed=3, actual_time_range=(50.0, 51.0),
+          mode=ref_du.SyntheticDataType.PRIOR)),
+      ('rebuild', lambda: data_utils.generate_synthetic_data(
+          num_data=3000, data_seed=3, actual_time_range=(50.0, 51.0),
+          mode=data_utils.SyntheticDataType.PRIOR)),
+  ):
+    train, _ = gen()
+    pos = np.asarray(train['position'])
+    labels = np.asarray(train['next_state']).reshape(-1)
+    transitioned = labels > 0
+    # dt ~ 50 s: most rows fire (positions far from the prior modes have
+    # tiny total rates, so ~15% still survive the window).
+    assert transitioned.mean() > 0.8
+    lab = labels[transitioned] - 1
+    p = pos[transitioned]
+
+    match_positive = (
+        np.argmax(rates_positive_convention(p), -1) == lab
+    ).mean()
+    match_analytic = (
+        np.argmax(rates_reference_analytic(p[:400]), -1) == lab[:400]
+    ).mean()
+    # Labels sample from sharply peaked rates: argmax matches ~94% under
+    # the generating convention, chance (~1/3) under the other.
+    assert match_positive > 0.85, (gen_name, match_positive)
+    assert match_analytic < 0.55, (gen_name, match_analytic)
